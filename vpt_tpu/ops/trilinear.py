@@ -1,0 +1,114 @@
+"""Trilinear volume sampling — the software replacement for tex3D.
+
+Reproduces the CUDA texture semantics the reference relies on
+(gpu_vdb.cpp:236-249: normalizedCoords, cudaFilterModeLinear,
+cudaAddressModeClamp): a normalized coordinate u in [0,1] addresses
+voxel-center space ``u*N - 0.5`` clamped to [0, N-1], with trilinear
+filtering of the 8 surrounding voxels.
+
+Property-fetch semantics mirror render_kernel.cu:909-1014:
+* positions outside the grid's [0,1]^3 normalized box return 0
+  (get_density render_kernel.cu:997, get_color :922, get_emission :961)
+* world -> index conversion happens in the caller (instance transform).
+
+Implementation note: these are jnp gathers over a flat atlas; XLA
+lowers them to dynamic-gather loops on TPU.  The Pallas DDA/brick
+kernels in ops/ replace them on the hot path; these remain the
+reference implementation and the fallback.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vpt_tpu.volume.grid import VolumeAtlas
+
+
+def _tex_coords(norm_pos, dim):
+    """Normalized [0,1]^3 coords -> (i0, i1, frac, in_bounds).
+
+    norm_pos: (..., 3) float32 in xyz order; dim: (..., 3) int32.
+    """
+    in_bounds = jnp.all((norm_pos >= 0.0) & (norm_pos <= 1.0), axis=-1)
+    dimf = dim.astype(jnp.float32)
+    x = jnp.clip(norm_pos * dimf - 0.5, 0.0, dimf - 1.0)
+    i0 = jnp.floor(x)
+    frac = x - i0
+    i0 = i0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, dim - 1)
+    return i0, i1, frac, in_bounds
+
+
+def _flat_index(ix, iy, iz, dim, offset):
+    return offset + (iz * dim[..., 1] + iy) * dim[..., 0] + ix
+
+
+def _gather_trilinear(flat, i0, i1, frac, dim, offset):
+    """8-tap gather + lerp.  flat: (V,) or (V, C)."""
+    wx1, wy1, wz1 = frac[..., 0], frac[..., 1], frac[..., 2]
+    wx0, wy0, wz0 = 1.0 - wx1, 1.0 - wy1, 1.0 - wz1
+
+    def tap(ix, iy, iz):
+        idx = _flat_index(ix, iy, iz, dim, offset)
+        return jnp.take(flat, idx, axis=0)
+
+    def w(a, b, c):
+        r = a * b * c
+        return r[..., None] if flat.ndim > 1 else r
+
+    v = (tap(i0[..., 0], i0[..., 1], i0[..., 2]) * w(wx0, wy0, wz0)
+         + tap(i1[..., 0], i0[..., 1], i0[..., 2]) * w(wx1, wy0, wz0)
+         + tap(i0[..., 0], i1[..., 1], i0[..., 2]) * w(wx0, wy1, wz0)
+         + tap(i1[..., 0], i1[..., 1], i0[..., 2]) * w(wx1, wy1, wz0)
+         + tap(i0[..., 0], i0[..., 1], i1[..., 2]) * w(wx0, wy0, wz1)
+         + tap(i1[..., 0], i0[..., 1], i1[..., 2]) * w(wx1, wy0, wz1)
+         + tap(i0[..., 0], i1[..., 1], i1[..., 2]) * w(wx0, wy1, wz1)
+         + tap(i1[..., 0], i1[..., 1], i1[..., 2]) * w(wx1, wy1, wz1))
+    return v
+
+
+def normalized_pos(index_pos, bmin, dim):
+    """Index-space position -> normalized [0,1]^3 (render_kernel.cu:988-994)."""
+    return (index_pos - bmin) / dim.astype(jnp.float32)
+
+
+def sample_density(atlas: VolumeAtlas, grid_id, index_pos):
+    """Density fetch at index-space positions (render_kernel.cu:984-1001).
+
+    grid_id: (...,) int32; index_pos: (..., 3) f32 (object==index space).
+    """
+    dim = atlas.dim[grid_id]
+    bmin = atlas.bmin[grid_id]
+    offset = atlas.offset[grid_id]
+    npos = normalized_pos(index_pos, bmin, dim)
+    i0, i1, frac, inb = _tex_coords(npos, dim)
+    val = _gather_trilinear(atlas.density, i0, i1, frac, dim, offset)
+    return jnp.where(inb, val, 0.0)
+
+
+def sample_emission_index(atlas: VolumeAtlas, grid_id, index_pos):
+    """Raw emission-channel value (pre-LUT), 0 where absent."""
+    dim = atlas.dim[grid_id]
+    bmin = atlas.bmin[grid_id]
+    offset = atlas.emission_offset[grid_id]
+    has = offset >= 0
+    npos = normalized_pos(index_pos, bmin, dim)
+    i0, i1, frac, inb = _tex_coords(npos, dim)
+    val = _gather_trilinear(atlas.emission, i0, i1, frac, dim,
+                            jnp.maximum(offset, 0))
+    return jnp.where(has & inb, val, 0.0)
+
+
+def sample_color(atlas: VolumeAtlas, grid_id, index_pos):
+    """Cd fetch; WHITE where the grid has no color channel
+    (render_kernel.cu:911), 0 outside the box (:922)."""
+    dim = atlas.dim[grid_id]
+    bmin = atlas.bmin[grid_id]
+    offset = atlas.color_offset[grid_id]
+    has = offset >= 0
+    npos = normalized_pos(index_pos, bmin, dim)
+    i0, i1, frac, inb = _tex_coords(npos, dim)
+    val = _gather_trilinear(atlas.color, i0, i1, frac, dim,
+                            jnp.maximum(offset, 0))
+    white = jnp.ones_like(val)
+    return jnp.where(has[..., None], jnp.where(inb[..., None], val, 0.0), white)

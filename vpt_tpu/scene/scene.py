@@ -1,0 +1,184 @@
+"""Scene container and host-side scene building.
+
+The device ``Scene`` pytree is everything the render step needs: the
+volume atlas, per-instance transforms, the scene (octree-root
+equivalent) bounds + extinction majorants, lights, the reference
+sphere, LUTs, and (optionally) an environment map.
+
+Host-side builders mirror the reference's scene dispatch
+(main.cpp:1258-1297): a single `.vdb`, an `.ins` instance file, an
+`.hdr` environment, or a procedural volume.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vpt_tpu.core.camera import Camera
+from vpt_tpu.lights.lights import PointLights
+from vpt_tpu.scene.geometry import Sphere
+from vpt_tpu.volume.grid import HostGrid, VolumeAtlas, build_atlas, load_vdb_grid
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Instances:
+    grid_id: jax.Array    # (N,) int32
+    xform: jax.Array      # (N, 4, 4) f32 index->world (row-vector)
+    inv_xform: jax.Array  # (N, 4, 4) f32 world->index
+    pmin: jax.Array       # (N, 3) world-space AABB
+    pmax: jax.Array       # (N, 3)
+
+    @property
+    def count(self) -> int:
+        return self.grid_id.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MajorantGrid:
+    """Flat super-grid replacing the reference's 3-level octree
+    (bvh_kernels.cu:204-246): per-cell density majorant/minorant and
+    occupancy over the scene bounds.  Resolution is static."""
+
+    max_density: jax.Array  # (R, R, R) f32, [z, y, x]
+    occupied: jax.Array     # (R, R, R) bool
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Scene:
+    atlas: VolumeAtlas
+    instances: Instances
+    # octree-root equivalents (bvh_builder.cpp:61-93)
+    root_pmin: jax.Array        # (3,)
+    root_pmax: jax.Array        # (3,)
+    max_extinction: jax.Array   # () max over instance grid max_density
+    min_extinction: jax.Array   # () min over instance grid min_density
+    lights: PointLights
+    sphere: Sphere
+    camera: Camera
+    emission_lut: jax.Array       # (256, 3) blackbody LUT
+    density_color_lut: jax.Array  # (256, 3)
+    majorant: Optional[MajorantGrid]
+    env_map: Optional[jax.Array]  # (H, W, 3) equirect radiance
+    env_cdf: Optional[tuple]      # environment CDF tables (sky/env NEE)
+
+
+def _world_bounds(host: HostGrid, xform: np.ndarray):
+    """AABB of the transformed index-space bbox corners
+    (GPU_VDB::Bounds, gpu_vdb.h:131-146)."""
+    bmin = host.bbox_min.astype(np.float64)
+    bmax = (host.bbox_min + host.dim - 1).astype(np.float64)
+    corners = np.array([[bmin[0], bmin[1], bmin[2]],
+                        [bmax[0], bmin[1], bmin[2]],
+                        [bmin[0], bmax[1], bmin[2]],
+                        [bmax[0], bmax[1], bmin[2]],
+                        [bmin[0], bmin[1], bmax[2]],
+                        [bmax[0], bmin[1], bmax[2]],
+                        [bmin[0], bmax[1], bmax[2]],
+                        [bmax[0], bmax[1], bmax[2]]])
+    w = corners @ xform[:3, :3] + xform[3, :3]
+    return w.min(axis=0), w.max(axis=0)
+
+
+def default_luts():
+    """Identity LUTs (white) used when the EXR assets aren't loaded."""
+    return (np.ones((256, 3), np.float32), np.ones((256, 3), np.float32))
+
+
+def build_scene(
+    host_grids: list[HostGrid],
+    instance_grid_ids: list[int] | np.ndarray | None = None,
+    instance_xforms: list[np.ndarray] | None = None,
+    camera: Camera | None = None,
+    lights: PointLights | None = None,
+    sphere: Sphere | None = None,
+    emission_lut: np.ndarray | None = None,
+    density_color_lut: np.ndarray | None = None,
+    env_map: np.ndarray | None = None,
+    majorant_resolution: int = 0,
+) -> Scene:
+    """Assemble a device Scene.
+
+    ``instance_xforms[i]`` is an extra index->world transform for
+    instance i; defaults to each grid's own file transform (the
+    single-volume path, main.cpp:1265-1272).
+    """
+    n_grids = len(host_grids)
+    if instance_grid_ids is None:
+        instance_grid_ids = np.arange(n_grids)
+        instance_xforms = [g.transform for g in host_grids]
+    instance_grid_ids = np.asarray(instance_grid_ids, np.int32)
+    assert instance_xforms is not None
+
+    xforms = np.stack([np.asarray(x, np.float64) for x in instance_xforms])
+    inv_xforms = np.linalg.inv(xforms)
+    pmins, pmaxs = [], []
+    for gid, xf in zip(instance_grid_ids, xforms):
+        lo, hi = _world_bounds(host_grids[int(gid)], xf)
+        pmins.append(lo)
+        pmaxs.append(hi)
+    pmins = np.stack(pmins)
+    pmaxs = np.stack(pmaxs)
+
+    # octree-root equivalents: union of instance bounds padded by 1
+    # (bvh_builder.cpp:76-78), scene majorant/minorant over instances
+    root_pmin = pmins.min(axis=0) - 1.0
+    root_pmax = pmaxs.max(axis=0) + 1.0
+    max_ext = max(host_grids[int(g)].max_density for g in instance_grid_ids)
+    min_ext = min(host_grids[int(g)].min_density for g in instance_grid_ids)
+
+    atlas = build_atlas(host_grids)
+    if emission_lut is None or density_color_lut is None:
+        em, dc = default_luts()
+        emission_lut = em if emission_lut is None else emission_lut
+        density_color_lut = dc if density_color_lut is None else density_color_lut
+
+    majorant = None
+    if majorant_resolution:
+        from vpt_tpu.accel.majorant import build_majorant_grid
+        majorant = build_majorant_grid(
+            host_grids, instance_grid_ids, xforms, root_pmin, root_pmax,
+            majorant_resolution)
+
+    if camera is None:
+        # default framing similar to main.cpp:1320-1334 (look at volume)
+        center = (root_pmin + root_pmax) / 2
+        dist = float(np.linalg.norm(root_pmax - root_pmin)) * 1.5
+        camera = Camera.make(center + np.array([0.0, 0.0, dist]), center,
+                             vfov=30.0, aspect=1.0)
+
+    return Scene(
+        atlas=atlas,
+        instances=Instances(
+            grid_id=jnp.asarray(instance_grid_ids),
+            xform=jnp.asarray(xforms, jnp.float32),
+            inv_xform=jnp.asarray(inv_xforms, jnp.float32),
+            pmin=jnp.asarray(pmins, jnp.float32),
+            pmax=jnp.asarray(pmaxs, jnp.float32),
+        ),
+        root_pmin=jnp.asarray(root_pmin, jnp.float32),
+        root_pmax=jnp.asarray(root_pmax, jnp.float32),
+        max_extinction=jnp.float32(max_ext),
+        min_extinction=jnp.float32(min_ext),
+        lights=lights if lights is not None else PointLights.empty(),
+        sphere=sphere if sphere is not None else Sphere.make(),
+        camera=camera,
+        emission_lut=jnp.asarray(emission_lut, jnp.float32),
+        density_color_lut=jnp.asarray(density_color_lut, jnp.float32),
+        majorant=majorant,
+        env_map=None if env_map is None else jnp.asarray(env_map, jnp.float32),
+        env_cdf=None,
+    )
+
+
+def load_vdb_scene(path: str, **kw) -> Scene:
+    """`.vdb` single-volume scene (main.cpp:1265-1272): channels
+    density/heat/Cd."""
+    return build_scene([load_vdb_grid(path)], **kw)

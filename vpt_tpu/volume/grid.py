@@ -1,0 +1,163 @@
+"""Dense volume atlas — the TPU-native replacement for CUDA 3-D textures.
+
+The reference uploads each VDB grid trio to three hardware 3-D
+textures (gpu_vdb.cpp:171-411).  TPUs have no texture units, so unique
+grids are packed into flat HBM buffers ("atlases") with per-grid
+offset/dim metadata, and trilinear filtering is a manual 8-tap gather
+(ops/trilinear.py).  Instances reference a grid id plus a per-instance
+world transform, which is how the reference's `.ins` instancing shares
+textures across thousands of copies (main.cpp:1059-1100).
+
+Layout: each grid's voxels are stored x-fastest (idx = (z*ny + y)*nx + x),
+matching the reference's LayoutXYZ dense copies (gpu_vdb.cpp:200-212).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vpt_tpu.volume.vdb import VdbGrid, read_vdb
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class VolumeAtlas:
+    """Device-side pytree of all unique grids in a scene.
+
+    ``density`` always present; ``emission``/``color`` atlases hold
+    only grids that have those channels (offset −1 ⇒ channel absent,
+    mirroring VDB_INFO.has_color/has_emission, gpu_vdb.h:59-76).
+    """
+
+    density: jax.Array        # (total_voxels,) f32
+    emission: jax.Array       # (total_emission_voxels,) f32
+    color: jax.Array          # (total_color_voxels, 3) f32
+    # per-grid metadata, all (n_grids, ...)
+    offset: jax.Array         # int32 into density
+    emission_offset: jax.Array  # int32, -1 if absent
+    color_offset: jax.Array   # int32, -1 if absent
+    dim: jax.Array            # (n, 3) int32  — nx, ny, nz
+    bmin: jax.Array           # (n, 3) f32 index-space bbox min
+    max_density: jax.Array    # (n,) f32
+    min_density: jax.Array    # (n,) f32 (min non-zero, >= FLT_EPSILON)
+    voxel_size: jax.Array     # (n,) f32
+
+
+@dataclass(frozen=True)
+class HostGrid:
+    """Host-side staging for one unique grid before packing."""
+
+    density_zyx: np.ndarray
+    emission_zyx: np.ndarray | None
+    color_zyx: np.ndarray | None
+    bbox_min: np.ndarray          # int32 (3,) index space
+    dim: np.ndarray               # int32 (3,) nx, ny, nz
+    transform: np.ndarray         # float64 4x4 index->world, row-vector
+    voxel_size: float
+    max_density: float
+    min_density: float
+
+
+def host_grid_from_vdb(grids: dict[str, VdbGrid],
+                       density_channel: str = "density",
+                       emission_channel: str = "heat",
+                       color_channel: str = "Cd") -> HostGrid:
+    """Mirror GPU_VDB::loadVDB channel selection (main.cpp:1265-1272)."""
+    if density_channel not in grids:
+        raise ValueError(
+            f"density channel {density_channel!r} not in {list(grids)}")
+    dgrid = grids[density_channel]
+    d = dgrid.dense_zyx
+    # min non-zero density clamped to FLT_EPSILON (gpu_vdb.cpp:208-209)
+    max_d = float(d.max()) if d.size else 0.0
+    min_d = float(np.maximum(d, np.finfo(np.float32).eps).min()) if d.size else 1.0
+
+    def _resample(name):
+        if name and name in grids and grids[name].dense_zyx is not None:
+            g = grids[name]
+            if (np.array_equal(g.bbox_min, dgrid.bbox_min)
+                    and g.dense_zyx.shape[:3] == d.shape[:3]):
+                return g.dense_zyx
+            # channel with a different active bbox: paste into density's box
+            shape = d.shape[:3] + g.dense_zyx.shape[3:]
+            out = np.zeros(shape, np.float32)
+            lo = g.bbox_min - dgrid.bbox_min
+            hi = lo + (g.bbox_max - g.bbox_min + 1)
+            d_lo = np.maximum(lo, 0)
+            d_hi = np.minimum(hi, np.array(d.shape[:3])[[2, 1, 0]])
+            s_lo = d_lo - lo
+            s_hi = d_hi - lo
+            out[d_lo[2]:d_hi[2], d_lo[1]:d_hi[1], d_lo[0]:d_hi[0]] = (
+                g.dense_zyx[s_lo[2]:s_hi[2], s_lo[1]:s_hi[1], s_lo[0]:s_hi[0]])
+            return out
+        return None
+
+    dim = (dgrid.bbox_max - dgrid.bbox_min + 1).astype(np.int32)
+    return HostGrid(
+        density_zyx=np.ascontiguousarray(d, np.float32),
+        emission_zyx=_resample(emission_channel),
+        color_zyx=_resample(color_channel),
+        bbox_min=dgrid.bbox_min.astype(np.int32),
+        dim=dim,
+        transform=dgrid.transform,
+        voxel_size=dgrid.voxel_size,
+        max_density=max_d,
+        min_density=min_d,
+    )
+
+
+def load_vdb_grid(path: str, density_channel="density",
+                  emission_channel="heat", color_channel="Cd") -> HostGrid:
+    return host_grid_from_vdb(
+        read_vdb(path), density_channel, emission_channel, color_channel)
+
+
+def build_atlas(host_grids: list[HostGrid]) -> VolumeAtlas:
+    """Pack host grids into device atlases."""
+    dens_parts, emis_parts, col_parts = [], [], []
+    offs, eoffs, coffs = [], [], []
+    dcur = ecur = ccur = 0
+    for g in host_grids:
+        offs.append(dcur)
+        dens_parts.append(g.density_zyx.reshape(-1))
+        dcur += dens_parts[-1].size
+        if g.emission_zyx is not None:
+            eoffs.append(ecur)
+            emis_parts.append(np.asarray(g.emission_zyx, np.float32).reshape(-1))
+            ecur += emis_parts[-1].size
+        else:
+            eoffs.append(-1)
+        if g.color_zyx is not None:
+            coffs.append(ccur)
+            col_parts.append(np.asarray(g.color_zyx, np.float32).reshape(-1, 3))
+            ccur += col_parts[-1].shape[0]
+        else:
+            coffs.append(-1)
+
+    def _cat(parts, width=None):
+        if not parts:
+            return (np.zeros((1, width), np.float32) if width
+                    else np.zeros((1,), np.float32))
+        return np.concatenate(parts, axis=0)
+
+    return VolumeAtlas(
+        density=jnp.asarray(_cat(dens_parts)),
+        emission=jnp.asarray(_cat(emis_parts)),
+        color=jnp.asarray(_cat(col_parts, width=3)),
+        offset=jnp.asarray(np.array(offs, np.int32)),
+        emission_offset=jnp.asarray(np.array(eoffs, np.int32)),
+        color_offset=jnp.asarray(np.array(coffs, np.int32)),
+        dim=jnp.asarray(np.stack([g.dim for g in host_grids]).astype(np.int32)),
+        bmin=jnp.asarray(
+            np.stack([g.bbox_min for g in host_grids]).astype(np.float32)),
+        max_density=jnp.asarray(
+            np.array([g.max_density for g in host_grids], np.float32)),
+        min_density=jnp.asarray(
+            np.array([g.min_density for g in host_grids], np.float32)),
+        voxel_size=jnp.asarray(
+            np.array([g.voxel_size for g in host_grids], np.float32)),
+    )

@@ -1,0 +1,467 @@
+"""Minimal pure-Python OpenVDB (.vdb) reader.
+
+There are no OpenVDB Python bindings in this environment, so we parse
+the archive format directly.  Supports the common production subset:
+
+* file versions >= 220 (tested with 224, as written by Houdini 17.5 —
+  the format of the reference's assets, e.g. assets/dragon.vdb)
+* ``Tree_float_5_4_3`` (FloatGrid) and ``Tree_vec3s_5_4_3`` (Vec3SGrid)
+* per-grid compression: none, zlib, blosc(lz4 + byte-shuffle),
+  active-mask value compression, half-float storage
+* linear transforms (UniformScale[Translate], Scale[Translate],
+  Translation, Affine, Unitary maps)
+
+The output mirrors what the reference extracts on load
+(gpu_vdb.cpp:105-472): a dense XYZ-layout array over the active-voxel
+bounding box, the index-space bbox, and the index->world affine
+transform (row-vector convention, translation in row 3).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from vpt_tpu.utils.compression import blosc_decompress, zip_decompress
+
+OPENVDB_MAGIC = 0x56444220
+
+# Per-grid compression flag bits (openvdb/io/Compression.h)
+COMPRESS_ZIP = 0x1
+COMPRESS_ACTIVE_MASK = 0x2
+COMPRESS_BLOSC = 0x4
+
+# readCompressedValues metadata codes (openvdb/io/Compression.h)
+NO_MASK_OR_INACTIVE_VALS = 0
+NO_MASK_AND_MINUS_BG = 1
+NO_MASK_AND_ONE_INACTIVE_VAL = 2
+MASK_AND_NO_INACTIVE_VALS = 3
+MASK_AND_ONE_INACTIVE_VAL = 4
+MASK_AND_TWO_INACTIVE_VALS = 5
+NO_MASK_AND_ALL_VALS = 6
+
+
+class _Reader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def read(self, n: int) -> bytes:
+        b = self.data[self.pos:self.pos + n]
+        if len(b) != n:
+            raise EOFError(f"short read at {self.pos}")
+        self.pos += n
+        return b
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.read(4))[0]
+
+    def i32(self) -> int:
+        return struct.unpack("<i", self.read(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack("<q", self.read(8))[0]
+
+    def f32(self) -> float:
+        return struct.unpack("<f", self.read(4))[0]
+
+    def f64(self) -> float:
+        return struct.unpack("<d", self.read(8))[0]
+
+    def byte(self) -> int:
+        return self.read(1)[0]
+
+    def string(self) -> str:
+        n = self.u32()
+        return self.read(n).decode("utf-8", errors="replace")
+
+    def coord(self):
+        return struct.unpack("<3i", self.read(12))
+
+
+@dataclass
+class VdbGrid:
+    name: str
+    value_type: str                # "float" or "vec3s"
+    background: np.ndarray
+    # dense array over active bbox; shape (nx, ny, nz) or (nx, ny, nz, 3),
+    # C-ordered with z fastest is NOT used — layout is XYZ like the
+    # reference's tools::Dense<LayoutXYZ> (x fastest): we store as
+    # [z, y, x(, c)] numpy array for natural C order and transpose on use.
+    dense_zyx: np.ndarray | None
+    bbox_min: np.ndarray           # index-space coords, int32 (3,)
+    bbox_max: np.ndarray           # inclusive
+    transform: np.ndarray          # 4x4 float64 index->world, row-vector
+    voxel_size: float
+    metadata: dict = field(default_factory=dict)
+
+    @property
+    def dim(self) -> np.ndarray:
+        return self.bbox_max - self.bbox_min + 1
+
+
+def _read_metamap(r: _Reader) -> dict:
+    n = r.u32()
+    meta = {}
+    for _ in range(n):
+        name = r.string()
+        typ = r.string()
+        size = r.u32()
+        raw = r.read(size)
+        if typ == "string":
+            meta[name] = raw.decode("utf-8", errors="replace")
+        elif typ == "int64":
+            meta[name] = struct.unpack("<q", raw)[0]
+        elif typ == "int32":
+            meta[name] = struct.unpack("<i", raw)[0]
+        elif typ == "bool":
+            meta[name] = bool(raw[0])
+        elif typ == "float":
+            meta[name] = struct.unpack("<f", raw)[0]
+        elif typ == "double":
+            meta[name] = struct.unpack("<d", raw)[0]
+        elif typ == "vec3i":
+            meta[name] = np.frombuffer(raw, "<i4").copy()
+        elif typ in ("vec3s", "vec3f"):
+            meta[name] = np.frombuffer(raw, "<f4").copy()
+        elif typ == "vec3d":
+            meta[name] = np.frombuffer(raw, "<f8").copy()
+        else:
+            meta[name] = raw
+    return meta
+
+
+def _read_transform(r: _Reader) -> tuple[np.ndarray, float]:
+    """Returns (index->world 4x4 row-vector mat, uniform voxel size)."""
+    map_type = r.string()
+    m = np.eye(4, dtype=np.float64)
+    if map_type in ("UniformScaleMap", "ScaleMap"):
+        scale = np.array([r.f64() for _ in range(3)])
+        _ = [r.f64() for _ in range(12)]  # voxelSize, inv, invSqr, invTwice
+        m[0, 0], m[1, 1], m[2, 2] = scale
+    elif map_type in ("UniformScaleTranslateMap", "ScaleTranslateMap"):
+        trans = np.array([r.f64() for _ in range(3)])
+        scale = np.array([r.f64() for _ in range(3)])
+        _ = [r.f64() for _ in range(12)]
+        m[0, 0], m[1, 1], m[2, 2] = scale
+        m[3, :3] = trans
+    elif map_type == "TranslationMap":
+        trans = np.array([r.f64() for _ in range(3)])
+        m[3, :3] = trans
+    elif map_type == "AffineMap":
+        vals = np.array([r.f64() for _ in range(16)]).reshape(4, 4)
+        m = vals  # openvdb Mat4d is row-vector convention already
+    elif map_type == "UnitaryMap":
+        vals = np.array([r.f64() for _ in range(16)]).reshape(4, 4)
+        m = vals
+    else:
+        raise NotImplementedError(f"VDB map type {map_type!r} not supported")
+    voxel = float(np.linalg.norm(m[0, :3]))
+    return m, voxel
+
+
+def _load_mask(r: _Reader, nbits: int) -> np.ndarray:
+    """NodeMask serialized as little-endian 64-bit words -> bool array."""
+    nbytes = nbits // 8
+    raw = np.frombuffer(r.read(nbytes), dtype=np.uint8)
+    return np.unpackbits(raw, bitorder="little").astype(bool)
+
+
+def _value_dtype(value_type: str, from_half: bool):
+    base = np.float16 if from_half else np.float32
+    if value_type == "float":
+        return np.dtype(base), 1
+    if value_type in ("vec3s", "vec3f"):
+        return np.dtype(base), 3
+    raise NotImplementedError(f"value type {value_type}")
+
+
+def _read_compressed_data(r: _Reader, count_values: int, dtype, ncomp: int,
+                          compression: int) -> np.ndarray:
+    """io::readCompressedData — one blosc/zip/raw blob of count values."""
+    nbytes = count_values * ncomp * dtype.itemsize
+    if count_values <= 0:
+        # still need to consume the (possibly negative) size header
+        if compression & (COMPRESS_BLOSC | COMPRESS_ZIP):
+            n = r.i64()
+            if n > 0:
+                r.read(n)
+            elif n < 0:
+                r.read(-n)
+        return np.zeros((0, ncomp), np.float32)
+    if compression & COMPRESS_BLOSC:
+        n = r.i64()
+        if n <= 0:
+            raw = r.read(-n if n < 0 else nbytes)
+        else:
+            raw = blosc_decompress(r.read(n))
+    elif compression & COMPRESS_ZIP:
+        n = r.i64()
+        if n <= 0:
+            raw = r.read(-n if n < 0 else nbytes)
+        else:
+            raw = zip_decompress(r.read(n))
+    else:
+        raw = r.read(nbytes)
+    vals = np.frombuffer(raw, dtype=dtype, count=count_values * ncomp)
+    return vals.reshape(count_values, ncomp).astype(np.float32)
+
+
+def _read_compressed_values(r: _Reader, dest_count: int, value_mask: np.ndarray,
+                            background: np.ndarray, compression: int,
+                            value_type: str, from_half: bool,
+                            file_version: int) -> np.ndarray:
+    """io::readCompressedValues (Compression.h) -> (dest_count, ncomp) f32."""
+    dtype, ncomp = _value_dtype(value_type, from_half)
+    metadata = NO_MASK_AND_ALL_VALS
+    if file_version >= 222:  # OPENVDB_FILE_VERSION_NODE_MASK_COMPRESSION
+        metadata = struct.unpack("<b", r.read(1))[0]
+
+    bg = np.broadcast_to(np.asarray(background, np.float32), (ncomp,))
+    inactive0 = bg.copy()
+    inactive1 = bg.copy()
+    if metadata == NO_MASK_AND_MINUS_BG:
+        inactive0 = -bg
+    if metadata in (NO_MASK_AND_ONE_INACTIVE_VAL, MASK_AND_ONE_INACTIVE_VAL,
+                    MASK_AND_TWO_INACTIVE_VALS):
+        inactive0 = np.frombuffer(r.read(ncomp * dtype.itemsize), dtype=dtype
+                                  ).astype(np.float32)
+    if metadata == MASK_AND_TWO_INACTIVE_VALS:
+        inactive1 = np.frombuffer(r.read(ncomp * dtype.itemsize), dtype=dtype
+                                  ).astype(np.float32)
+    selection = None
+    if metadata in (MASK_AND_NO_INACTIVE_VALS, MASK_AND_ONE_INACTIVE_VAL,
+                    MASK_AND_TWO_INACTIVE_VALS):
+        selection = _load_mask(r, dest_count)
+
+    count = dest_count
+    mask_compressed = bool(compression & COMPRESS_ACTIVE_MASK)
+    if (mask_compressed and metadata != NO_MASK_AND_ALL_VALS
+            and file_version >= 222):
+        count = int(value_mask.sum())
+
+    temp = _read_compressed_data(r, count, dtype, ncomp, compression)
+
+    if count == dest_count:
+        return temp
+    out = np.empty((dest_count, ncomp), np.float32)
+    out[:] = inactive0
+    if selection is not None:
+        out[selection] = inactive1
+    out[value_mask] = temp
+    return out
+
+
+_LOG2DIMS = (5, 4, 3)  # Tree_*_5_4_3
+
+
+class _TreeReader:
+    """Reads topology+buffers of a 5_4_3 tree and rasterizes to dense."""
+
+    def __init__(self, r: _Reader, value_type: str, compression: int,
+                 from_half: bool, file_version: int):
+        self.r = r
+        self.value_type = value_type
+        self.compression = compression
+        self.from_half = from_half
+        self.version = file_version
+        _, self.ncomp = _value_dtype(value_type, False)
+        self.leaves = []       # (origin, value_mask) in topology order
+        self.tiles = []        # (origin, size, value(ncomp,)) active tiles
+        self.background = None
+
+    # -- topology ----------------------------------------------------------
+    def read_topology(self):
+        r = self.r
+        buffer_count = r.u32()
+        if buffer_count != 1:
+            raise NotImplementedError("multi-buffer trees unsupported")
+        dtype, ncomp = _value_dtype(self.value_type, False)
+        self.background = np.frombuffer(
+            r.read(4 * ncomp), dtype=np.float32).copy()
+        num_tiles = r.u32()
+        num_children = r.u32()
+        for _ in range(num_tiles):
+            origin = r.coord()
+            val = np.frombuffer(r.read(4 * ncomp), np.float32).copy()
+            active = r.byte()
+            if active:
+                self.tiles.append((np.array(origin), 1 << 12, val))
+        for _ in range(num_children):
+            origin = np.array(r.coord())
+            self._read_internal(origin, level=0)
+
+    def _read_internal(self, origin: np.ndarray, level: int):
+        r = self.r
+        log2 = _LOG2DIMS[level]
+        nvox = 1 << (3 * log2)
+        child_log2sum = sum(_LOG2DIMS[level + 1:])
+        child_size = 1 << child_log2sum  # voxel span of one child slot
+        child_mask = _load_mask(r, nvox)
+        value_mask = _load_mask(r, nvox)
+        values = _read_compressed_values(
+            r, nvox, value_mask, self.background, self.compression,
+            self.value_type, self.from_half, self.version)
+        # active tiles of this internal node
+        active_tiles = np.nonzero(value_mask & ~child_mask)[0]
+        dim = 1 << log2
+        for idx in active_tiles:
+            # InternalNode offset -> local coord (x major: n = x*D*D + y*D + z)
+            x, rem = divmod(int(idx), dim * dim)
+            y, z = divmod(rem, dim)
+            tile_origin = origin + np.array([x, y, z]) * child_size
+            self.tiles.append((tile_origin, child_size, values[idx]))
+        for idx in np.nonzero(child_mask)[0]:
+            x, rem = divmod(int(idx), dim * dim)
+            y, z = divmod(rem, dim)
+            child_origin = origin + np.array([x, y, z]) * child_size
+            if level + 1 < len(_LOG2DIMS) - 1:
+                self._read_internal(child_origin, level + 1)
+            else:
+                self._read_leaf_topology(child_origin)
+
+    def _read_leaf_topology(self, origin: np.ndarray):
+        value_mask = _load_mask(self.r, 512)
+        self.leaves.append((origin, value_mask))
+
+    # -- buffers -----------------------------------------------------------
+    def read_buffers(self) -> list[np.ndarray]:
+        out = []
+        for _origin, value_mask in self.leaves:
+            # LeafNode::readBuffers: for file versions >= 222 the value
+            # mask is re-serialized ahead of the leaf's buffer.
+            if self.version >= 222:
+                buf_mask = _load_mask(self.r, 512)
+                if not np.array_equal(buf_mask, value_mask):
+                    raise ValueError("leaf buffer mask mismatch")
+            vals = _read_compressed_values(
+                self.r, 512, value_mask, self.background, self.compression,
+                self.value_type, self.from_half, self.version)
+            # inactive voxels are rendered as 0 in the dense copy
+            # (tools::copyToDense copies values as stored; inactive
+            # values are whatever the file recorded — typically bg=0)
+            out.append(vals)
+        return out
+
+    # -- dense rasterization -------------------------------------------------
+    def to_dense(self, leaf_values: list[np.ndarray]):
+        if not self.leaves and not self.tiles:
+            return None, np.zeros(3, np.int32), np.zeros(3, np.int32)
+        mins, maxs = [], []
+        for (origin, value_mask) in self.leaves:
+            if value_mask.any():
+                idx = np.nonzero(value_mask)[0]
+                x, rem = np.divmod(idx, 64)
+                y, z = np.divmod(rem, 8)
+                mins.append(origin + [x.min(), y.min(), z.min()])
+                maxs.append(origin + [x.max(), y.max(), z.max()])
+        for (origin, size, _val) in self.tiles:
+            mins.append(np.asarray(origin))
+            maxs.append(np.asarray(origin) + size - 1)
+        bbox_min = np.min(mins, axis=0).astype(np.int64)
+        bbox_max = np.max(maxs, axis=0).astype(np.int64)
+        dim = bbox_max - bbox_min + 1
+        shape = (int(dim[2]), int(dim[1]), int(dim[0]))  # [z, y, x]
+        if self.ncomp > 1:
+            shape = shape + (self.ncomp,)
+        dense = np.zeros(shape, np.float32)
+        for (origin, size, val) in self.tiles:
+            lo = origin - bbox_min
+            hi = np.minimum(lo + size, dim)
+            lo = np.maximum(lo, 0)
+            v = val if self.ncomp > 1 else val[0]
+            dense[lo[2]:hi[2], lo[1]:hi[1], lo[0]:hi[0]] = v
+        for (origin, value_mask), vals in zip(self.leaves, leaf_values):
+            lo = origin - bbox_min
+            # leaf layout: offset = x*64 + y*8 + z  -> reshape (x,y,z)
+            block = vals.reshape(8, 8, 8, self.ncomp)
+            mask = value_mask.reshape(8, 8, 8)
+            block = np.where(mask[..., None], block, 0.0)
+            blk_zyx = np.transpose(block, (2, 1, 0, 3))
+            if self.ncomp == 1:
+                blk_zyx = blk_zyx[..., 0]
+            # clip the 8^3 block against the dense window
+            d_lo = np.maximum(lo, 0)
+            d_hi = np.minimum(lo + 8, dim)
+            if np.any(d_hi <= d_lo):
+                continue
+            b_lo = d_lo - lo
+            b_hi = d_hi - lo
+            dense[d_lo[2]:d_hi[2], d_lo[1]:d_hi[1], d_lo[0]:d_hi[0]] = (
+                blk_zyx[b_lo[2]:b_hi[2], b_lo[1]:b_hi[1], b_lo[0]:b_hi[0]])
+        return dense, bbox_min.astype(np.int32), bbox_max.astype(np.int32)
+
+
+def read_vdb(path: str, grid_names: list[str] | None = None) -> dict[str, VdbGrid]:
+    """Parse a .vdb file; returns {grid_name: VdbGrid}."""
+    data = open(path, "rb").read()
+    r = _Reader(data)
+    magic = r.i64()
+    if magic != OPENVDB_MAGIC:
+        raise ValueError(f"{path}: not an OpenVDB file")
+    file_version = r.u32()
+    if file_version < 220:
+        raise NotImplementedError(f"VDB file version {file_version} too old")
+    _lib_major = r.u32()
+    _lib_minor = r.u32()
+    has_grid_offsets = r.byte()
+    if not has_grid_offsets:
+        raise NotImplementedError("non-seekable VDB archives unsupported")
+    if file_version >= 226:  # OPENVDB_FILE_VERSION_BOOST_UUID...
+        # newer archives: uuid as length-prefixed string
+        _uuid = r.string()
+    else:
+        _uuid = r.read(36).decode("ascii", errors="replace")
+    _file_meta = _read_metamap(r)
+    ngrids = r.u32()
+
+    grids: dict[str, VdbGrid] = {}
+    for _ in range(ngrids):
+        unique_name = r.string()
+        grid_type = r.string()
+        _instance_parent = r.string()
+        grid_pos = r.i64()
+        _block_pos = r.i64()
+        end_pos = r.i64()
+        # strip the \x1e unique suffix if present
+        name = unique_name.split("\x1e")[0]
+        next_header = r.pos
+        if grid_names is not None and name not in grid_names:
+            r.pos = next_header
+            continue
+
+        gr = _Reader(data, grid_pos)
+        compression = 0
+        if file_version >= 222:
+            compression = gr.u32()
+        meta = _read_metamap(gr)
+        from_half = bool(meta.get("is_saved_as_half_float", False))
+        transform, voxel = _read_transform(gr)
+
+        if grid_type.startswith("Tree_float_5_4_3"):
+            vtype = "float"
+        elif grid_type.startswith("Tree_vec3s_5_4_3") or grid_type.startswith(
+                "Tree_vec3f_5_4_3"):
+            vtype = "vec3s"
+        else:
+            raise NotImplementedError(f"grid type {grid_type!r}")
+
+        tree = _TreeReader(gr, vtype, compression, from_half, file_version)
+        tree.read_topology()
+        leaf_vals = tree.read_buffers()
+        if gr.pos > end_pos:
+            raise ValueError(
+                f"{path}:{name}: parse overrun ({gr.pos} > {end_pos})")
+        dense, bmin, bmax = tree.to_dense(leaf_vals)
+        grids[name] = VdbGrid(
+            name=name, value_type=vtype,
+            background=tree.background,
+            dense_zyx=dense, bbox_min=bmin, bbox_max=bmax,
+            transform=transform, voxel_size=voxel, metadata=meta,
+        )
+        r.pos = next_header
+    return grids
