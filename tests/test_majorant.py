@@ -1,0 +1,69 @@
+"""Majorant/occupancy grid: construction invariants and estimator
+equivalence (SURVEY.md §7 hard part 5: skipping must not change the
+radiance distribution)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vpt_tpu.accel.majorant import cell_exit_t
+from vpt_tpu.core.camera import Camera
+from vpt_tpu.lights.lights import PointLights
+from vpt_tpu.render.params import Environment, RenderParams
+from vpt_tpu.render.renderer import ProgressiveRenderer
+from vpt_tpu.scene.scene import load_vdb_scene
+
+DRAGON = "/root/reference/assets/dragon.vdb"
+
+
+@pytest.fixture(scope="module")
+def scene():
+    lights = PointLights.make([[5.0, 8.0, 12.0]], [[1.0, 1.0, 1.0]], [300.0])
+    s = load_vdb_scene(DRAGON, lights=lights, majorant_resolution=48)
+    c = (np.asarray(s.root_pmin) + np.asarray(s.root_pmax)) / 2
+    cam = Camera.make(c + np.array([0.0, 1.0, 10.0]), c, vfov=40.0, aspect=1.0)
+    return dataclasses.replace(s, camera=cam)
+
+
+def test_majorant_is_conservative(scene):
+    """Every nonzero density voxel must land in an occupied cell whose
+    majorant >= the voxel value."""
+    from vpt_tpu.volume.grid import load_vdb_grid
+    g = load_vdb_grid(DRAGON)
+    d = g.density_zyx
+    zz, yy, xx = np.nonzero(d > 0)
+    ipos = np.stack([xx, yy, zz], -1).astype(np.float64) + g.bbox_min + 0.5
+    wpos = ipos @ g.transform[:3, :3] + g.transform[3, :3]
+    R = scene.majorant.occupied.shape[0]
+    pmin = np.asarray(scene.root_pmin, np.float64)
+    pmax = np.asarray(scene.root_pmax, np.float64)
+    ci = np.clip(((wpos - pmin) / (pmax - pmin) * R).astype(int), 0, R - 1)
+    occ = np.asarray(scene.majorant.occupied)
+    cmax = np.asarray(scene.majorant.max_density)
+    assert occ[ci[:, 2], ci[:, 1], ci[:, 0]].all()
+    assert (cmax[ci[:, 2], ci[:, 1], ci[:, 0]] >= d[zz, yy, xx] - 1e-6).all()
+
+
+def test_cell_exit_advances(scene):
+    R = scene.majorant.occupied.shape[0]
+    pos = jnp.asarray(((np.asarray(scene.root_pmin)
+                        + np.asarray(scene.root_pmax)) / 2)[None], jnp.float32)
+    d = jnp.array([[1.0, 0.0, 0.0]], jnp.float32)
+    t = cell_exit_t(scene.root_pmin, scene.root_pmax, R, pos, d)
+    cell_x = float((scene.root_pmax[0] - scene.root_pmin[0]) / R)
+    assert 0.0 < float(t[0]) <= cell_x + 1e-5
+
+
+def test_skipping_preserves_estimator(scene):
+    """Mean image with occupancy skipping ≈ without (same distribution)."""
+    p = RenderParams(width=24, height=24, ray_depth=6, max_track_steps=128,
+                     environment_type=int(Environment.BLACK))
+    f_on = ProgressiveRenderer(scene, p).render(24)
+    f_off = ProgressiveRenderer(
+        scene, dataclasses.replace(p, use_majorant=False)).render(24)
+    m_on = float(np.asarray(f_on.accum).mean())
+    m_off = float(np.asarray(f_off.accum).mean())
+    assert m_off > 0
+    assert abs(m_on - m_off) / m_off < 0.15, (m_on, m_off)

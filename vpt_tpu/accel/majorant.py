@@ -1,0 +1,115 @@
+"""Flat majorant / occupancy super-grid — the TPU-native replacement
+for the reference's 3-level pointer-chasing octree
+(bvh_kernels.cu:204-246, AABB.h:217-234).
+
+The octree's only runtime roles are (a) empty-space skipping (nodes
+with no volumes are jumped to their exit plane, render_kernel.cu:
+1607-1643) and (b) restricting the density sum to overlapping
+instances.  A dense R³ grid of {max density, occupancy, instance
+masks} over the scene bounds provides both with O(1) branchless
+lookups — no pointer chasing, fully vectorizable.
+
+Built host-side in numpy at scene build time (the analog of
+BVH_Builder::build_bvh, once per scene).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dilate_max(grid: np.ndarray, r: int) -> np.ndarray:
+    """Grey dilation by a cube of radius r.  np.roll wraps around the
+    boundary, which can only over-estimate a cell's majorant — safe
+    (a looser majorant costs speed, never correctness)."""
+    out = grid.copy()
+    for axis in (0, 1, 2):
+        acc = out.copy()
+        for s in range(1, r + 1):
+            acc = np.maximum(acc, np.roll(out, s, axis=axis))
+            acc = np.maximum(acc, np.roll(out, -s, axis=axis))
+        out = acc
+    return out
+
+
+def build_majorant_grid(host_grids, instance_grid_ids, xforms,
+                        root_pmin, root_pmax, resolution: int):
+    """Returns a MajorantGrid pytree (scene.py dataclass).
+
+    Splat each instance's nonzero voxels into world-space cells
+    (max-reduce), then dilate by the worst-case trilinear influence
+    radius in cells so the per-cell value is a true majorant of the
+    interpolated field.
+    """
+    from vpt_tpu.scene.scene import MajorantGrid
+
+    R = int(resolution)
+    root_pmin = np.asarray(root_pmin, np.float64)
+    root_pmax = np.asarray(root_pmax, np.float64)
+    extent = root_pmax - root_pmin
+    cell = extent / R
+    grid_max = np.zeros((R, R, R), np.float32)  # [z, y, x]
+
+    max_influence = 0.0
+    for gid, xf in zip(instance_grid_ids, xforms):
+        g = host_grids[int(gid)]
+        d = g.density_zyx
+        nz = np.nonzero(d > 0)
+        if len(nz[0]) == 0:
+            continue
+        zz, yy, xx = nz
+        vals = d[zz, yy, xx]
+        # index-space voxel centers relative to bbox_min, +0.5 offset:
+        # tex coordinate i samples voxel i at index position bmin+i+0.5
+        ipos = np.stack([xx, yy, zz], axis=-1).astype(np.float64)
+        ipos += g.bbox_min + 0.5
+        wpos = ipos @ xf[:3, :3] + xf[3, :3]
+        ci = np.floor((wpos - root_pmin) / cell).astype(np.int64)
+        ci = np.clip(ci, 0, R - 1)
+        flat = (ci[:, 2] * R + ci[:, 1]) * R + ci[:, 0]
+        np.maximum.at(grid_max.reshape(-1), flat, vals)
+        # trilinear influence reaches ±1 voxel in index space; its
+        # world-space radius bounds the needed dilation
+        voxel_world = np.linalg.norm(xf[:3, :3], axis=1).max()
+        max_influence = max(max_influence, 1.5 * voxel_world)
+
+    r_cells = int(np.ceil(max_influence / cell.min())) if max_influence else 0
+    r_cells = min(max(r_cells, 1), 3)
+    grid_max = _dilate_max(grid_max, r_cells)
+
+    return MajorantGrid(
+        max_density=jnp.asarray(grid_max),
+        occupied=jnp.asarray(grid_max > 0.0),
+    )
+
+
+def majorant_lookup(major, root_pmin, root_pmax, pos):
+    """Occupancy + cell majorant at world positions (branchless).
+
+    Returns (occupied (...,), cell_max (...,), t_cell_exit (...,))
+    where t_cell_exit needs direction — computed by `cell_exit_t`.
+    """
+    R = major.occupied.shape[0]
+    extent = root_pmax - root_pmin
+    rel = (pos - root_pmin) / extent * R
+    ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, R - 1)
+    occ = major.occupied[ci[..., 2], ci[..., 1], ci[..., 0]]
+    cmax = major.max_density[ci[..., 2], ci[..., 1], ci[..., 0]]
+    return occ, cmax, ci
+
+
+def cell_exit_t(root_pmin, root_pmax, resolution, pos, direction):
+    """Distance along `direction` to exit the current grid cell
+    (the DDA 'advance to node exit' of render_kernel.cu:1611-1618)."""
+    R = resolution
+    extent = root_pmax - root_pmin
+    cs = extent / R
+    rel = (pos - root_pmin) / cs
+    ci = jnp.floor(rel)
+    step_pos = direction > 0
+    next_bound = (ci + step_pos.astype(jnp.float32)) * cs + root_pmin
+    t_axes = (next_bound - pos) / direction
+    # directions ~0 give inf; clamp via large value
+    t_axes = jnp.where(jnp.abs(direction) < 1e-12, 3.4e38, t_axes)
+    return jnp.maximum(jnp.min(t_axes, axis=-1), 0.0)

@@ -67,7 +67,7 @@ class Scene:
     density_color_lut: jax.Array  # (256, 3)
     majorant: Optional[MajorantGrid]
     env_map: Optional[jax.Array]  # (H, W, 3) equirect radiance
-    env_cdf: Optional[tuple]      # environment CDF tables (sky/env NEE)
+    env_cdf: Optional[object]     # sky.cdf.EnvCDF tables (sky/env NEE)
 
 
 def _world_bounds(host: HostGrid, xform: np.ndarray):
@@ -102,7 +102,7 @@ def build_scene(
     emission_lut: np.ndarray | None = None,
     density_color_lut: np.ndarray | None = None,
     env_map: np.ndarray | None = None,
-    majorant_resolution: int = 0,
+    majorant_resolution: int = 64,
 ) -> Scene:
     """Assemble a device Scene.
 
@@ -136,9 +136,15 @@ def build_scene(
 
     atlas = build_atlas(host_grids)
     if emission_lut is None or density_color_lut is None:
-        em, dc = default_luts()
-        emission_lut = em if emission_lut is None else emission_lut
-        density_color_lut = dc if density_color_lut is None else density_color_lut
+        from vpt_tpu.scene.assets import (load_blackbody_lut,
+                                          load_density_color_lut)
+        em_d, dc_d = default_luts()
+        if emission_lut is None:
+            loaded = load_blackbody_lut()
+            emission_lut = loaded if loaded is not None else em_d
+        if density_color_lut is None:
+            loaded = load_density_color_lut()
+            density_color_lut = loaded if loaded is not None else dc_d
 
     majorant = None
     if majorant_resolution:
@@ -182,3 +188,39 @@ def load_vdb_scene(path: str, **kw) -> Scene:
     """`.vdb` single-volume scene (main.cpp:1265-1272): channels
     density/heat/Cd."""
     return build_scene([load_vdb_grid(path)], **kw)
+
+
+def attach_sky_cdf(scene: Scene, azimuth=150.0, elevation=30.0,
+                   sky_color=(1.0, 1.0, 1.0)) -> Scene:
+    """Build/refresh the procedural-sky importance CDF for the current
+    sun position (the reference rebuilds it whenever the sun moves,
+    main.cpp:1702-1705)."""
+    import dataclasses
+
+    from vpt_tpu.sky.cdf import build_sky_cdf
+    cdf = build_sky_cdf(jnp.float32(azimuth), jnp.float32(elevation),
+                        jnp.asarray(sky_color, jnp.float32))
+    return dataclasses.replace(scene, env_cdf=cdf)
+
+
+def attach_env_map(scene: Scene, env_map: np.ndarray,
+                   importance_sample: bool = True) -> Scene:
+    """Attach an equirect HDR environment (create_environment,
+    main.cpp:945-978) and optionally its importance CDF."""
+    import dataclasses
+
+    env = jnp.asarray(env_map, jnp.float32)
+    cdf = None
+    if importance_sample:
+        from vpt_tpu.sky.cdf import build_envmap_cdf
+        cdf = build_envmap_cdf(env)
+    return dataclasses.replace(scene, env_map=env, env_cdf=cdf)
+
+
+def load_hdr_env_scene(hdr_path: str, **kw) -> Scene:
+    """`.hdr`-only scene: environment light with the default procedural
+    volume (main.cpp:1276-1297 pattern, minus the GUI)."""
+    from vpt_tpu.utils.hdr import load_hdr
+    from vpt_tpu.volume.procedural import default_procedural_grid
+    scene = build_scene([default_procedural_grid()], **kw)
+    return attach_env_map(scene, load_hdr(hdr_path))
