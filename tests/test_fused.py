@@ -1,0 +1,65 @@
+"""Fused state-machine engine vs the reference-structured engine:
+statistical equivalence within the MC noise floor."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from vpt_tpu.core.camera import Camera
+from vpt_tpu.lights.lights import PointLights
+from vpt_tpu.render.params import Environment, RenderParams
+from vpt_tpu.render.renderer import ProgressiveRenderer
+from vpt_tpu.scene.scene import load_vdb_scene
+
+DRAGON = "/root/reference/assets/dragon.vdb"
+
+
+@pytest.fixture(scope="module")
+def scene():
+    s = load_vdb_scene(DRAGON, lights=PointLights.make(
+        [[5.0, 8.0, 12.0]], [[1.0, 1.0, 1.0]], [300.0]))
+    c = (np.asarray(s.root_pmin) + np.asarray(s.root_pmax)) / 2
+    cam = Camera.make(c + np.array([0.0, 1.0, 10.0]), c, vfov=40.0, aspect=1.0)
+    return dataclasses.replace(s, camera=cam)
+
+
+BASE = dict(width=32, height=32, ray_depth=6, max_track_steps=96,
+            max_fused_steps=768, environment_type=int(Environment.BLACK))
+
+
+def test_fused_matches_reference_mean(scene):
+    f_ref = ProgressiveRenderer(
+        scene, RenderParams(engine="reference", **BASE)).render(16)
+    f_fus = ProgressiveRenderer(
+        scene, RenderParams(engine="fused", **BASE)).render(16)
+    a = np.asarray(f_ref.accum)
+    b = np.asarray(f_fus.accum)
+    assert np.isfinite(b).all()
+    assert (b >= 0).all()
+    assert a.mean() > 0
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())
+
+
+def test_fused_deterministic(scene):
+    p = RenderParams(engine="fused", seed=5, **BASE)
+    f1 = ProgressiveRenderer(scene, p).render(2)
+    f2 = ProgressiveRenderer(scene, p).render(2)
+    np.testing.assert_array_equal(np.asarray(f1.accum), np.asarray(f2.accum))
+
+
+def test_fused_dark_scene_black(scene):
+    s = dataclasses.replace(scene, lights=PointLights.empty())
+    p = RenderParams(engine="fused", **BASE).replace(sun_mult=0.0)
+    film = ProgressiveRenderer(s, p).render(2)
+    np.testing.assert_allclose(np.asarray(film.accum), 0.0, atol=1e-6)
+
+
+def test_fused_alpha_matches(scene):
+    f_ref = ProgressiveRenderer(
+        scene, RenderParams(engine="reference", **BASE)).render(8)
+    f_fus = ProgressiveRenderer(
+        scene, RenderParams(engine="fused", **BASE)).render(8)
+    a = np.asarray(f_ref.alpha)
+    b = np.asarray(f_fus.alpha)
+    assert abs(b.mean() - a.mean()) / max(a.mean(), 1e-9) < 0.1

@@ -78,9 +78,19 @@ def build_majorant_grid(host_grids, instance_grid_ids, xforms,
     r_cells = min(max(r_cells, 1), 3)
     grid_max = _dilate_max(grid_max, r_cells)
 
+    occ = grid_max > 0.0
+    # Chebyshev distance-to-occupied transform: a cell with value d
+    # guarantees every cell within L-inf radius d-1 is empty, so a ray
+    # can jump the whole empty cube in ONE step (vs the octree's
+    # cell-by-cell node stepping, render_kernel.cu:1611-1643).
+    from scipy import ndimage
+    skip = ndimage.distance_transform_cdt(
+        ~occ, metric="chessboard").astype(np.int32)
+
     return MajorantGrid(
         max_density=jnp.asarray(grid_max),
-        occupied=jnp.asarray(grid_max > 0.0),
+        occupied=jnp.asarray(occ),
+        skip_dist=jnp.asarray(skip),
     )
 
 
@@ -97,6 +107,64 @@ def majorant_lookup(major, root_pmin, root_pmax, pos):
     occ = major.occupied[ci[..., 2], ci[..., 1], ci[..., 0]]
     cmax = major.max_density[ci[..., 2], ci[..., 1], ci[..., 0]]
     return occ, cmax, ci
+
+
+def local_majorant_query(major, root_pmin, root_pmax, pos, direction):
+    """Per-cell majorant + guaranteed-free travel distance.
+
+    Returns (sigma_cell, dt_exit):
+      sigma_cell — density majorant of the current cell (0 if empty);
+      dt_exit    — distance to exit the cube of cells guaranteed to
+                   share that bound: the single cell when occupied, the
+                   chebyshev empty cube when skip_dist > 0.
+
+    This powers local-majorant delta tracking: steps are drawn at the
+    *cell* majorant and clamped to dt_exit (boundary crossings are
+    null events — memorylessness keeps the estimator exact; see
+    e.g. PBRT 4e §11.4 "majorant grids").
+    """
+    R = major.occupied.shape[0]
+    extent = root_pmax - root_pmin
+    cs = extent / R
+    rel = (pos - root_pmin) / cs
+    ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, R - 1)
+    d = major.skip_dist[ci[..., 2], ci[..., 1], ci[..., 0]]
+    sigma_cell = major.max_density[ci[..., 2], ci[..., 1], ci[..., 0]]
+    r = jnp.maximum(d - 1, 0).astype(jnp.float32)
+    cube_min = root_pmin + (ci.astype(jnp.float32) - r[..., None]) * cs
+    cube_max = root_pmin + (ci.astype(jnp.float32) + 1.0
+                            + r[..., None]) * cs
+    inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-12, 1e-12, direction)
+    t1 = (cube_min - pos) * inv
+    t2 = (cube_max - pos) * inv
+    t_exit = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    return sigma_cell, jnp.maximum(t_exit, 0.0)
+
+
+def empty_skip_t(major, root_pmin, root_pmax, pos, direction):
+    """Distance a ray may advance from `pos` while provably staying in
+    empty space (0 if the current cell is occupied).
+
+    Uses the precomputed chebyshev distance field: with d =
+    skip_dist[cell] > 0, the cube of cells within L-inf radius d-1 of
+    the current cell is empty; return the exit distance of that cube.
+    """
+    R = major.occupied.shape[0]
+    extent = root_pmax - root_pmin
+    cs = extent / R
+    rel = (pos - root_pmin) / cs
+    ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, R - 1)
+    d = major.skip_dist[ci[..., 2], ci[..., 1], ci[..., 0]]
+    empty = d > 0
+    r = (d - 1).astype(jnp.float32)
+    cube_min = root_pmin + (ci.astype(jnp.float32) - r[..., None]) * cs
+    cube_max = root_pmin + (ci.astype(jnp.float32) + 1.0
+                            + r[..., None]) * cs
+    inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-12, 1e-12, direction)
+    t1 = (cube_min - pos) * inv
+    t2 = (cube_max - pos) * inv
+    t_exit = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    return empty, jnp.maximum(t_exit, 0.0)
 
 
 def cell_exit_t(root_pmin, root_pmax, resolution, pos, direction):

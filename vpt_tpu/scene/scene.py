@@ -48,6 +48,7 @@ class MajorantGrid:
 
     max_density: jax.Array  # (R, R, R) f32, [z, y, x]
     occupied: jax.Array     # (R, R, R) bool
+    skip_dist: jax.Array    # (R, R, R) int32 chebyshev cells to occupancy
 
 
 @jax.tree_util.register_dataclass
