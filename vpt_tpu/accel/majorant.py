@@ -87,10 +87,13 @@ def build_majorant_grid(host_grids, instance_grid_ids, xforms,
     skip = ndimage.distance_transform_cdt(
         ~occ, metric="chessboard").astype(np.int32)
 
+    packed = np.stack([grid_max.reshape(-1),
+                       skip.reshape(-1).astype(np.float32)], axis=-1)
     return MajorantGrid(
         max_density=jnp.asarray(grid_max),
         occupied=jnp.asarray(occ),
         skip_dist=jnp.asarray(skip),
+        packed=jnp.asarray(packed),
     )
 
 
@@ -104,8 +107,9 @@ def majorant_lookup(major, root_pmin, root_pmax, pos):
     extent = root_pmax - root_pmin
     rel = (pos - root_pmin) / extent * R
     ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, R - 1)
-    occ = major.occupied[ci[..., 2], ci[..., 1], ci[..., 0]]
-    cmax = major.max_density[ci[..., 2], ci[..., 1], ci[..., 0]]
+    flat = (ci[..., 2] * R + ci[..., 1]) * R + ci[..., 0]
+    occ = jnp.take(major.occupied.reshape(-1), flat)
+    cmax = jnp.take(major.max_density.reshape(-1), flat)
     return occ, cmax, ci
 
 
@@ -128,9 +132,11 @@ def local_majorant_query(major, root_pmin, root_pmax, pos, direction):
     cs = extent / R
     rel = (pos - root_pmin) / cs
     ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, R - 1)
-    d = major.skip_dist[ci[..., 2], ci[..., 1], ci[..., 0]]
-    sigma_cell = major.max_density[ci[..., 2], ci[..., 1], ci[..., 0]]
-    r = jnp.maximum(d - 1, 0).astype(jnp.float32)
+    flat = (ci[..., 2] * R + ci[..., 1]) * R + ci[..., 0]
+    row = jnp.take(major.packed, flat, axis=0)  # one gather for both
+    sigma_cell = row[..., 0]
+    d = row[..., 1]
+    r = jnp.maximum(d - 1.0, 0.0)
     cube_min = root_pmin + (ci.astype(jnp.float32) - r[..., None]) * cs
     cube_max = root_pmin + (ci.astype(jnp.float32) + 1.0
                             + r[..., None]) * cs
@@ -154,9 +160,10 @@ def empty_skip_t(major, root_pmin, root_pmax, pos, direction):
     cs = extent / R
     rel = (pos - root_pmin) / cs
     ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, R - 1)
-    d = major.skip_dist[ci[..., 2], ci[..., 1], ci[..., 0]]
+    flat = (ci[..., 2] * R + ci[..., 1]) * R + ci[..., 0]
+    d = jnp.take(major.packed, flat, axis=0)[..., 1]
     empty = d > 0
-    r = (d - 1).astype(jnp.float32)
+    r = d - 1.0
     cube_min = root_pmin + (ci.astype(jnp.float32) - r[..., None]) * cs
     cube_max = root_pmin + (ci.astype(jnp.float32) + 1.0
                             + r[..., None]) * cs

@@ -1,0 +1,181 @@
+"""Headless render CLI — the batch equivalent of the reference's
+interactive app (main.cpp:1252-1297 scene dispatch + render loop).
+
+Usage:
+    vpt render SCENE [ENV.hdr] -o out.png --spp 64 [options]
+
+SCENE may be a `.vdb` (single volume: density/heat/Cd channels), a
+`.ins` (instances or lights), a `.hdr` (environment + default
+procedural volume), or `procedural` (no-asset demo volume,
+main.cpp:1281-1297).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="vpt", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("render", help="render a scene to an image")
+    r.add_argument("scene", help=".vdb/.ins/.hdr path or 'procedural'")
+    r.add_argument("env", nargs="?", default=None,
+                   help="optional .hdr environment map")
+    r.add_argument("-o", "--output", default="render/out.png",
+                   help="output image (.png/.jpg/.exr)")
+    r.add_argument("--spp", type=int, default=64)
+    r.add_argument("--width", type=int, default=512)
+    r.add_argument("--height", type=int, default=512)
+    r.add_argument("--ray-depth", type=int, default=50)
+    r.add_argument("--volume-depth", type=int, default=1)
+    r.add_argument("--integrator", choices=["direct", "volumetric"],
+                   default="direct")
+    r.add_argument("--engine", choices=["fused", "reference"],
+                   default="fused")
+    r.add_argument("--env-type",
+                   choices=["atmosphere", "hdri", "black", "constant"],
+                   default=None, help="default: hdri if env given else atmosphere")
+    r.add_argument("--camera", nargs=6, type=float, metavar="V",
+                   default=None, help="lookfrom xyz lookat xyz")
+    r.add_argument("--fov", type=float, default=30.0)
+    r.add_argument("--aperture", type=float, default=0.0)
+    r.add_argument("--exposure", type=float, default=1.0)
+    r.add_argument("--azimuth", type=float, default=150.0)
+    r.add_argument("--elevation", type=float, default=30.0)
+    r.add_argument("--sun-mult", type=float, default=1.0)
+    r.add_argument("--sky-mult", type=float, default=1.0)
+    r.add_argument("--phase-g", type=float, default=0.0)
+    r.add_argument("--density-mult", type=float, default=1.0)
+    r.add_argument("--emission-scale", type=float, default=0.0)
+    r.add_argument("--light", nargs=7, type=float, action="append",
+                   metavar="V", default=None,
+                   help="px py pz r g b power (repeatable)")
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+    r.add_argument("--sharded", action="store_true",
+                   help="render over all devices (tile x spp mesh)")
+    r.add_argument("--save-exr", action="store_true",
+                   help="also save raw radiance as EXR next to output")
+    r.add_argument("--aov", choices=["none", "alpha", "cost", "depth"],
+                   default="none", help="save an extra AOV image")
+    return ap
+
+
+def _load_scene(args, lights):
+    from vpt_tpu.scene.scene import (attach_env_map, build_scene,
+                                     load_vdb_scene)
+    path = args.scene
+    if path == "procedural":
+        from vpt_tpu.volume.procedural import default_procedural_grid
+        scene = build_scene([default_procedural_grid()], lights=lights)
+    elif path.endswith(".vdb"):
+        scene = load_vdb_scene(path, lights=lights)
+    elif path.endswith(".ins"):
+        from vpt_tpu.scene.ins import load_ins_scene
+        scene = load_ins_scene(path, lights=lights)
+    elif path.endswith(".hdr"):
+        from vpt_tpu.scene.scene import load_hdr_env_scene
+        return load_hdr_env_scene(path, lights=lights)
+    else:
+        raise SystemExit(f"unsupported scene file: {path}")
+    if args.env:
+        from vpt_tpu.utils.hdr import load_hdr
+        scene = attach_env_map(scene, load_hdr(args.env))
+    return scene
+
+
+def cmd_render(args):
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+
+    from vpt_tpu.core.camera import Camera
+    from vpt_tpu.lights.lights import PointLights
+    from vpt_tpu.render.params import Environment, Integrator, RenderParams
+    from vpt_tpu.render.renderer import ProgressiveRenderer
+
+    lights = PointLights.empty()
+    if args.light:
+        arr = np.array(args.light)
+        lights = PointLights.make(arr[:, 0:3], arr[:, 3:6], arr[:, 6])
+
+    t0 = time.time()
+    scene = _load_scene(args, lights)
+    print(f"[vpt] scene loaded in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if args.camera:
+        cam = Camera.make(args.camera[:3], args.camera[3:], vfov=args.fov,
+                          aspect=args.width / args.height,
+                          aperture=args.aperture)
+        scene = dataclasses.replace(scene, camera=cam)
+    else:
+        c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+        dist = float(np.linalg.norm(
+            np.asarray(scene.root_pmax) - np.asarray(scene.root_pmin))) * 1.2
+        cam = Camera.make(c + np.array([0.0, dist * 0.15, dist]), c,
+                          vfov=args.fov, aspect=args.width / args.height,
+                          aperture=args.aperture)
+        scene = dataclasses.replace(scene, camera=cam)
+
+    env_name = args.env_type or ("hdri" if (args.env or args.scene.endswith(
+        ".hdr")) else "atmosphere")
+    env_type = dict(atmosphere=Environment.ATMOSPHERE, hdri=Environment.HDRI,
+                    black=Environment.BLACK,
+                    constant=Environment.CONSTANT)[env_name]
+
+    params = RenderParams(
+        width=args.width, height=args.height, ray_depth=args.ray_depth,
+        volume_depth=args.volume_depth,
+        integrator=int(Integrator.DIRECT if args.integrator == "direct"
+                       else Integrator.VOLUMETRIC),
+        environment_type=int(env_type), engine=args.engine, seed=args.seed,
+    ).replace(
+        exposure_scale=args.exposure, azimuth=args.azimuth,
+        elevation=args.elevation, sun_mult=args.sun_mult,
+        sky_mult=args.sky_mult, phase_g1=args.phase_g,
+        density_mult=args.density_mult, emission_scale=args.emission_scale,
+    )
+
+    t0 = time.time()
+    if args.sharded and jax.device_count() > 1:
+        from vpt_tpu.parallel.shard import (make_mesh, render_sharded,
+                                            replicate_scene)
+        mesh = make_mesh(1, 0)
+        film = render_sharded(replicate_scene(scene, mesh), params,
+                              args.spp, mesh)
+        from vpt_tpu.render.film import to_display
+        img = np.asarray(to_display(film, params.exposure_scale))[::-1]
+    else:
+        r = ProgressiveRenderer(scene, params)
+        film = r.render(args.spp)
+        img = r.display_image()[::-1]
+    dt = time.time() - t0
+    rays = args.width * args.height * args.spp
+    print(f"[vpt] {args.spp} spp in {dt:.1f}s "
+          f"({rays/dt/1e6:.2f} Mrays/s)", file=sys.stderr)
+
+    from vpt_tpu.utils.io import save_image
+    save_image(args.output, img, accum=np.asarray(film.accum)[::-1],
+               save_exr=args.save_exr)
+    if args.aov != "none":
+        aov = np.asarray(getattr(film, args.aov))[::-1]
+        from vpt_tpu.utils.io import save_aov
+        save_aov(args.output, args.aov, aov)
+    print(f"[vpt] wrote {args.output}", file=sys.stderr)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cmd == "render":
+        cmd_render(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -128,14 +128,22 @@ def transform_point(m, p):
     """p' = [p,1] @ M, returning the first three components.
 
     Row-vector convention; equivalent to matrix_math.h:216-227 where the
-    translation lives in the fourth row.
+    translation lives in the fourth row.  Written as explicit
+    multiply-adds (not einsum) so XLA:TPU lowers it on the VPU instead
+    of padding a (B,3)x(3,3) dot onto the MXU.
     """
+    if m.ndim == 2:
+        return (p[..., 0:1] * m[0, :3] + p[..., 1:2] * m[1, :3]
+                + p[..., 2:3] * m[2, :3] + m[3, :3])
     r = jnp.einsum("...i,...ij->...j", p, m[..., :3, :3])
     return r + m[..., 3, :3]
 
 
 def transform_vector(m, v):
     """Direction transform: no translation (matrix_math.h:229-236)."""
+    if m.ndim == 2:
+        return (v[..., 0:1] * m[0, :3] + v[..., 1:2] * m[1, :3]
+                + v[..., 2:3] * m[2, :3])
     return jnp.einsum("...i,...ij->...j", v, m[..., :3, :3])
 
 

@@ -49,6 +49,8 @@ class MajorantGrid:
     max_density: jax.Array  # (R, R, R) f32, [z, y, x]
     occupied: jax.Array     # (R, R, R) bool
     skip_dist: jax.Array    # (R, R, R) int32 chebyshev cells to occupancy
+    packed: jax.Array       # (R^3, 2) f32 [cell majorant, skip_dist] —
+    #                         one row gather serves both lookups
 
 
 @jax.tree_util.register_dataclass
@@ -69,6 +71,7 @@ class Scene:
     majorant: Optional[MajorantGrid]
     env_map: Optional[jax.Array]  # (H, W, 3) equirect radiance
     env_cdf: Optional[object]     # sky.cdf.EnvCDF tables (sky/env NEE)
+    atmosphere: Optional[object] = None  # sky.runtime.Atmosphere (Bruneton)
 
 
 def _world_bounds(host: HostGrid, xform: np.ndarray):
@@ -189,6 +192,20 @@ def load_vdb_scene(path: str, **kw) -> Scene:
     """`.vdb` single-volume scene (main.cpp:1265-1272): channels
     density/heat/Cd."""
     return build_scene([load_vdb_grid(path)], **kw)
+
+
+def attach_atmosphere(scene: Scene, atmosphere=None, cache_path=None,
+                      dims=None) -> Scene:
+    """Attach a Bruneton precomputed atmosphere (earth_atmosphere.init(),
+    main.cpp:1504 / atmosphere.cpp:1177)."""
+    import dataclasses
+
+    if atmosphere is None:
+        from vpt_tpu.sky.bruneton import LutDims
+        from vpt_tpu.sky.runtime import make_atmosphere
+        atmosphere = make_atmosphere(dims or LutDims(),
+                                     cache_path=cache_path)
+    return dataclasses.replace(scene, atmosphere=atmosphere)
 
 
 def attach_sky_cdf(scene: Scene, azimuth=150.0, elevation=30.0,
