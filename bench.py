@@ -28,12 +28,16 @@ WIDTH = int(os.environ.get("BENCH_WIDTH", 512))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 512))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 2))
 ITERS = int(os.environ.get("BENCH_ITERS", 16))
+ENGINE = os.environ.get("BENCH_ENGINE", "fused")
+FUSED_STEPS = int(os.environ.get("BENCH_FUSED_STEPS", 64))
 
 
 def main():
     import dataclasses
 
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_compile_cache"))
     import jax.numpy as jnp
 
     from vpt_tpu.core.camera import Camera
@@ -55,7 +59,9 @@ def main():
     scene = dataclasses.replace(scene, camera=cam)
     params = RenderParams(width=WIDTH, height=HEIGHT,
                           environment_type=int(Environment.BLACK),
-                          ray_depth=50, volume_depth=1, max_track_steps=256)
+                          ray_depth=50, volume_depth=1, max_track_steps=256,
+                          engine=ENGINE, max_fused_steps=FUSED_STEPS,
+                          fused_loop_mode="fori")
 
     film = Film.zeros(HEIGHT, WIDTH)
     it = 0

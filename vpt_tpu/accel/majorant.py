@@ -15,6 +15,7 @@ BVH_Builder::build_bvh, once per scene).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -133,7 +134,9 @@ def local_majorant_query(major, root_pmin, root_pmax, pos, direction):
     rel = (pos - root_pmin) / cs
     ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, R - 1)
     flat = (ci[..., 2] * R + ci[..., 1]) * R + ci[..., 0]
+    (flat,) = jax.lax.optimization_barrier((flat,))
     row = jnp.take(major.packed, flat, axis=0)  # one gather for both
+    (row,) = jax.lax.optimization_barrier((row,))
     sigma_cell = row[..., 0]
     d = row[..., 1]
     r = jnp.maximum(d - 1.0, 0.0)
@@ -161,7 +164,10 @@ def empty_skip_t(major, root_pmin, root_pmax, pos, direction):
     rel = (pos - root_pmin) / cs
     ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, R - 1)
     flat = (ci[..., 2] * R + ci[..., 1]) * R + ci[..., 0]
-    d = jnp.take(major.packed, flat, axis=0)[..., 1]
+    (flat,) = jax.lax.optimization_barrier((flat,))
+    row = jnp.take(major.packed, flat, axis=0)
+    (row,) = jax.lax.optimization_barrier((row,))
+    d = row[..., 1]
     empty = d > 0
     r = d - 1.0
     cube_min = root_pmin + (ci.astype(jnp.float32) - r[..., None]) * cs

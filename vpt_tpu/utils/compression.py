@@ -50,9 +50,14 @@ def _load_native():
                 ctypes.c_char_p, ctypes.c_int,
                 ctypes.c_char_p, ctypes.c_int,
             ]
+            dll.blosc_decompress.restype = ctypes.c_int
+            dll.blosc_decompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_int,
+            ]
             _native = dll
             return dll
-        except OSError:
+        except (OSError, AttributeError):
             pass
     _native = False
     return False
@@ -129,11 +134,24 @@ def _byte_unshuffle(data: bytes, typesize: int) -> bytes:
 
 
 def blosc_decompress(chunk: bytes) -> bytes:
-    """Decompress a blosc1 chunk (as written by OpenVDB)."""
+    """Decompress a blosc1 chunk (as written by OpenVDB).
+
+    Uses the native C++ decoder (native/vdb_codec) when built; falls
+    back to the pure-Python implementation."""
     if len(chunk) < 16:
         raise ValueError("blosc chunk too small")
     version, versionlz, flags, typesize = chunk[0], chunk[1], chunk[2], chunk[3]
     nbytes, blocksize, cbytes = struct.unpack_from("<III", chunk, 4)
+
+    native = _load_native()
+    if native and nbytes:
+        import ctypes
+
+        out = ctypes.create_string_buffer(nbytes)
+        n = native.blosc_decompress(chunk, len(chunk), out, nbytes)
+        if n == nbytes:
+            return out.raw
+        # native decoder declined (unsupported codec) -> python path
     if nbytes == 0:
         return b""
     if flags & _BLOSC_MEMCPYED:

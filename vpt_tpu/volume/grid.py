@@ -38,7 +38,7 @@ class VolumeAtlas:
     # voxel i, so a trilinear fetch is ONE row gather instead of eight
     # scalar gathers (TPU gathers inside tracking loops serialize
     # per-index, so gather COUNT dominates; 8x memory for 8x speed)
-    density_corners: jax.Array  # (total_voxels, 8) f32
+    density_corners: jax.Array  # (total_voxels, 10) f32 (see _corner_pack)
     emission: jax.Array       # (total_emission_voxels,) f32
     color: jax.Array          # (total_color_voxels, 3) f32
     # per-grid metadata, all (n_grids, ...)
@@ -132,11 +132,17 @@ def load_vdb_grid(path: str, density_channel="density",
 
 
 def _corner_pack(d_zyx: np.ndarray) -> np.ndarray:
-    """(nz,ny,nx) -> (nx*ny*nz, 8) rows of 2x2x2 neighborhoods in the
-    tap order (x,y,z) bit-packed as corner = x + 2y + 4z, edge-clamped
-    (matches trilinear clamp addressing)."""
+    """(nz,ny,nx) -> (nx*ny*nz, 10) rows: the 2x2x2 neighborhood of
+    voxel i (tap order corner = x + 2y + 4z, edge-clamped to match
+    trilinear clamp addressing) PLUS two acceleration channels:
+      col 8 — local density majorant over the voxel's 3^3 region
+              (conservative for any trilinear sample based here)
+      col 9 — chebyshev distance (in voxels) to the nearest voxel whose
+              3^3 region is non-empty (0 if occupied)
+    One row gather per tracking step serves the density fetch, the
+    majorant AND the empty-space skip."""
     nz, ny, nx = d_zyx.shape
-    out = np.empty((8, nz, ny, nx), np.float32)
+    out = np.empty((10, nz, ny, nx), np.float32)
     for c in range(8):
         dx, dy, dz = c & 1, (c >> 1) & 1, (c >> 2) & 1
         shifted = d_zyx[
@@ -144,8 +150,24 @@ def _corner_pack(d_zyx: np.ndarray) -> np.ndarray:
             np.minimum(np.arange(ny) + dy, ny - 1)][:, :,
             np.minimum(np.arange(nx) + dx, nx - 1)]
         out[c] = shifted
+
+    # local majorant: max over the 3^3 neighborhood (covers the support
+    # of any trilinear sample whose base voxel is i)
+    maj = d_zyx.copy()
+    for axis in (0, 1, 2):
+        m = maj.copy()
+        m = np.maximum(m, np.roll(maj, 1, axis=axis))
+        m = np.maximum(m, np.roll(maj, -1, axis=axis))
+        maj = m  # roll wrap only over-estimates (safe)
+    out[8] = maj
+
+    from scipy import ndimage
+    skip = ndimage.distance_transform_cdt(
+        maj <= 0.0, metric="chessboard").astype(np.float32)
+    out[9] = skip
+
     # flat voxel order matches _flat_index: (z*ny + y)*nx + x
-    return np.ascontiguousarray(out.reshape(8, -1).T)
+    return np.ascontiguousarray(out.reshape(10, -1).T)
 
 
 def build_atlas(host_grids: list[HostGrid]) -> VolumeAtlas:
@@ -178,7 +200,7 @@ def build_atlas(host_grids: list[HostGrid]) -> VolumeAtlas:
 
     corner_parts = [_corner_pack(g.density_zyx) for g in host_grids]
     corners = (np.concatenate(corner_parts, axis=0) if corner_parts
-               else np.zeros((1, 8), np.float32))
+               else np.zeros((1, 10), np.float32))
 
     return VolumeAtlas(
         density=jnp.asarray(_cat(dens_parts)),
