@@ -71,7 +71,8 @@ def test_progressive_accumulation_is_mean(dragon_scene):
     from vpt_tpu.core.rng import render_key
     from vpt_tpu.render.renderer import render_rays
     for it in range(3):
-        v, _ = render_rays(dragon_scene, p, render_key(p.seed, jnp.uint32(it)))
+        v, _, _aux = render_rays(dragon_scene, p,
+                                 render_key(p.seed, jnp.uint32(it)))
         vals.append(np.asarray(v))
         film = render_step(dragon_scene, p, film, jnp.uint32(it))
     np.testing.assert_allclose(np.asarray(film.accum),
