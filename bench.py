@@ -29,7 +29,7 @@ HEIGHT = int(os.environ.get("BENCH_HEIGHT", 512))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 2))
 ITERS = int(os.environ.get("BENCH_ITERS", 16))
 ENGINE = os.environ.get("BENCH_ENGINE", "fused")
-FUSED_STEPS = int(os.environ.get("BENCH_FUSED_STEPS", 64))
+FUSED_STEPS = int(os.environ.get("BENCH_FUSED_STEPS", 128))
 
 
 def main():
@@ -60,8 +60,7 @@ def main():
     params = RenderParams(width=WIDTH, height=HEIGHT,
                           environment_type=int(Environment.BLACK),
                           ray_depth=50, volume_depth=1, max_track_steps=256,
-                          engine=ENGINE, max_fused_steps=FUSED_STEPS,
-                          fused_loop_mode="fori")
+                          engine=ENGINE, max_fused_steps=FUSED_STEPS)
 
     film = Film.zeros(HEIGHT, WIDTH)
     it = 0

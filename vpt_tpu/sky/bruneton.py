@@ -512,10 +512,12 @@ def compute_single_scattering_lut(p, ttex, dims: LutDims):
         return (ray * p.solar_irradiance * p.rayleigh_scattering,
                 mie * p.solar_irradiance * p.mie_scattering)
 
-    f = jax.vmap(jax.vmap(jax.vmap(texel, in_axes=(None, None, 0)),
-                          in_axes=(None, 0, None)),
-                 in_axes=(0, None, None))
-    return f(fz, fy, fx)
+    # sequential over depth slices (lax.map) to bound peak memory —
+    # a full vmap materializes texels x sphere-samples intermediates
+    # that exceed HBM at production LUT sizes
+    slice_fn = jax.vmap(jax.vmap(texel, in_axes=(None, None, 0)),
+                        in_axes=(None, 0, None))
+    return jax.lax.map(lambda fz_: slice_fn(fz_, fy, fx), fz)
 
 
 # ---------------------------------------------------------------------------
@@ -639,10 +641,12 @@ def compute_scattering_density_lut(p, ttex, ray_tex, mie_tex, multi_tex,
                                                      nu2))[:, None])
         return jnp.sum(contrib * domega[:, None], axis=0)
 
-    f = jax.vmap(jax.vmap(jax.vmap(texel, in_axes=(None, None, 0)),
-                          in_axes=(None, 0, None)),
-                 in_axes=(0, None, None))
-    return f(fz, fy, fx)
+    # sequential over depth slices (lax.map) to bound peak memory —
+    # a full vmap materializes texels x sphere-samples intermediates
+    # that exceed HBM at production LUT sizes
+    slice_fn = jax.vmap(jax.vmap(texel, in_axes=(None, None, 0)),
+                        in_axes=(None, 0, None))
+    return jax.lax.map(lambda fz_: slice_fn(fz_, fy, fx), fz)
 
 
 def compute_indirect_irradiance_lut(p, ray_tex, mie_tex, multi_tex,
@@ -702,10 +706,12 @@ def compute_multiple_scattering_lut(p, ttex, density_tex, dims: LutDims):
         w = jnp.where((i == 0) | (i == n), 0.5, 1.0)[:, None]
         return jnp.sum(Ji * trans * w, axis=0) * dx
 
-    f = jax.vmap(jax.vmap(jax.vmap(texel, in_axes=(None, None, 0)),
-                          in_axes=(None, 0, None)),
-                 in_axes=(0, None, None))
-    return f(fz, fy, fx)
+    # sequential over depth slices (lax.map) to bound peak memory —
+    # a full vmap materializes texels x sphere-samples intermediates
+    # that exceed HBM at production LUT sizes
+    slice_fn = jax.vmap(jax.vmap(texel, in_axes=(None, None, 0)),
+                        in_axes=(None, 0, None))
+    return jax.lax.map(lambda fz_: slice_fn(fz_, fy, fx), fz)
 
 
 # ---------------------------------------------------------------------------
