@@ -610,7 +610,11 @@ def compute_scattering_density_lut(p, ttex, ray_tex, mie_tex, multi_tex,
         # local frame: zenith = z; view in xz plane
         zenith = jnp.array([0.0, 0.0, 1.0])
         omega = jnp.stack([_safe_sqrt(1.0 - mu * mu), jnp.zeros_like(mu), mu])
-        sun_x = jnp.where(omega[0] == 0.0, 1.0, (nu - mu * mu_s) / omega[0])
+        # f32 slack in the nu clamp can leave (nu - mu*mu_s)/omega.x
+        # unbounded at grazing mu; the component is a cosine — clamp it
+        sun_x = jnp.where(omega[0] < 1e-5, 1.0, (nu - mu * mu_s) / jnp.maximum(
+            omega[0], 1e-5))
+        sun_x = _clamp_cosine(sun_x)
         sun_y = _safe_sqrt(jnp.maximum(1.0 - sun_x ** 2 - mu_s ** 2, 0.0))
         omega_s = jnp.stack([sun_x, sun_y, mu_s])
 
@@ -618,7 +622,7 @@ def compute_scattering_density_lut(p, ttex, ray_tex, mie_tex, multi_tex,
         wi = jnp.stack([sin_t * cos_p, sin_t * sin_p, cos_t], axis=-1)
         hits_g = ray_hits_ground(p, r, cos_t)
         # radiance from previous order
-        nu1 = jnp.einsum("j,ij->i", omega_s, wi)
+        nu1 = _clamp_cosine(jnp.einsum("j,ij->i", omega_s, wi))
         Li = _combined_scattering_for_density(
             p, ray_tex, mie_tex, multi_tex, r, cos_t, mu_s, nu1, hits_g,
             order, dims)
@@ -632,7 +636,7 @@ def compute_scattering_density_lut(p, ttex, ray_tex, mie_tex, multi_tex,
             hits_g[:, None],
             trans_g * (p.ground_albedo / jnp.pi) * irr_g, 0.0)
 
-        nu2 = jnp.einsum("j,ij->i", omega, wi)
+        nu2 = _clamp_cosine(jnp.einsum("j,ij->i", omega, wi))
         dens_r = rayleigh_density(p, r - p.bottom_radius)
         dens_m = mie_density(p, r - p.bottom_radius)
         contrib = Li * (
