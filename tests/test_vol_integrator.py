@@ -1,0 +1,78 @@
+"""PBRT-style volumetric integrator + sky NEE MIS path."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from vpt_tpu.core.camera import Camera
+from vpt_tpu.lights.lights import PointLights
+from vpt_tpu.render.params import Environment, Integrator, RenderParams
+from vpt_tpu.render.renderer import ProgressiveRenderer
+from vpt_tpu.scene.scene import attach_sky_cdf, load_vdb_scene
+
+DRAGON = "/root/reference/assets/dragon.vdb"
+
+
+@pytest.fixture(scope="module")
+def scene():
+    s = load_vdb_scene(DRAGON, lights=PointLights.make(
+        [[5.0, 8.0, 12.0]], [[1.0, 1.0, 1.0]], [300.0]))
+    c = (np.asarray(s.root_pmin) + np.asarray(s.root_pmax)) / 2
+    cam = Camera.make(c + np.array([0.0, 1.0, 10.0]), c, vfov=40.0, aspect=1.0)
+    return dataclasses.replace(s, camera=cam)
+
+
+def test_vol_integrator_runs(scene):
+    p = RenderParams(width=16, height=16, ray_depth=4, max_track_steps=64,
+                     integrator=int(Integrator.VOLUMETRIC),
+                     environment_type=int(Environment.CONSTANT))
+    film = ProgressiveRenderer(scene, p).render(4)
+    a = np.asarray(film.accum)
+    assert np.isfinite(a).all()
+    assert a.max() > 0
+
+
+def test_sky_cdf_importance_sampling(scene):
+    """estimate_sky's CDF strategy: attach the procedural-sky CDF and
+    render with the volumetric integrator (uniform_sample_one_light ->
+    estimate_sky MIS, render_kernel.cu:1356-1443)."""
+    s = attach_sky_cdf(scene, azimuth=150.0, elevation=30.0)
+    assert s.env_cdf is not None
+    # CDF tables are normalized
+    mc = np.asarray(s.env_cdf.marginal_cdf)
+    assert abs(mc[-1] - 1.0) < 1e-4
+    assert (np.diff(mc) >= -1e-5).all()
+    p = RenderParams(width=12, height=12, ray_depth=3, max_track_steps=64,
+                     integrator=int(Integrator.VOLUMETRIC),
+                     environment_type=int(Environment.ATMOSPHERE))
+    film = ProgressiveRenderer(s, p).render(2)
+    a = np.asarray(film.accum)
+    assert np.isfinite(a).all()
+
+
+def test_env_cdf_sampler_distribution():
+    """sample_env_cdf draws proportionally to the radiance function."""
+    import jax
+    import jax.numpy as jnp
+
+    from vpt_tpu.sky.cdf import build_env_cdf, pdf_env_cdf, sample_env_cdf
+    res = 32
+    val = np.ones((res, res, 3), np.float32) * 0.01
+    val[res // 4, :] = 10.0  # one bright elevation row
+    env = build_env_cdf(jnp.asarray(val))
+    key = jax.random.PRNGKey(0)
+    u = jax.random.uniform(key, (20000, 2))
+    wo, pdf = sample_env_cdf(env, u[:, 0], u[:, 1])
+    wo = np.asarray(wo)
+    theta = np.arccos(np.clip(wo[:, 1], -1, 1))
+    target_theta = (res // 4 + 0.5) / res * np.pi
+    frac_in_band = (np.abs(theta - target_theta) < 0.15).mean()
+    assert frac_in_band > 0.5  # most samples land in the bright band
+    assert float(np.asarray(pdf).min()) > 0
+    # pdf lookup correlates with the sampler's pdf (floor-indexed
+    # lookup vs interpolated sampling diverges only at band edges)
+    pdf2 = np.asarray(pdf_env_cdf(env, jnp.asarray(wo)))
+    in_band = np.abs(theta - target_theta) < 0.05
+    ratio = pdf2[in_band] / np.maximum(np.asarray(pdf)[in_band], 1e-9)
+    assert 0.3 < np.median(ratio) < 3.0
