@@ -108,3 +108,23 @@ def test_hdr_roundtrip_flat():
                 f.write(px)
         img = load_hdr(path)
     np.testing.assert_allclose(img, rgb, rtol=1e-2)
+
+
+def test_exr_zip_roundtrip():
+    """ZIP/ZIPS predictor + interleave round-trip (ImfZip semantics):
+    values must reconstruct exactly, including byte 0 (the advisor-found
+    +128 offset bug regression guard)."""
+    from vpt_tpu.utils.exr import read_exr, write_exr
+    rng = np.random.default_rng(3)
+    H, W = 33, 17  # non-multiple of the 16-line ZIP block
+    chans = {"R": rng.standard_normal((H, W)).astype(np.float32),
+             "G": np.linspace(-1e6, 1e6, H * W,
+                              dtype=np.float32).reshape(H, W),
+             "B": np.zeros((H, W), np.float32)}
+    for comp in ("zip", "zips", "none"):
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, f"t_{comp}.exr")
+            write_exr(path, chans, compression=comp)
+            out = read_exr(path)
+        for c in chans:
+            np.testing.assert_array_equal(out[c], chans[c], err_msg=comp)

@@ -70,6 +70,46 @@ def test_irradiance_positive_sunlit(atm):
     assert float(np.asarray(sky_irr).min()) >= 0.0
 
 
+def test_multiple_scattering_phase_division(atm):
+    """Orders >= 2 are stored pre-divided by the Rayleigh phase
+    (atmosphere_kernels.cu:696): the combined texture must equal
+    single-Rayleigh + multi/rayleigh_phase(nu), i.e. re-multiplying by
+    the phase at runtime reconstructs raw multiple scattering."""
+    params, luts = atm
+    # recompute the order-2 pipeline pieces independently
+    ttex = br.compute_transmittance_lut(params, TINY)
+    direct_irr = br.compute_direct_irradiance_lut(params, ttex, TINY)
+    ray_tex, mie_tex = br.compute_single_scattering_lut(params, ttex, TINY)
+    zero = jnp.zeros_like(ray_tex)
+    density = br.compute_scattering_density_lut(
+        params, ttex, ray_tex, mie_tex, zero, direct_irr, 2, TINY)
+    multi = br.compute_multiple_scattering_lut(params, ttex, density, TINY)
+    nu = br._scattering_texel_nu(params, TINY)
+    expect = np.asarray(ray_tex
+                        + multi / br.rayleigh_phase(nu)[..., None])
+    got = np.asarray(luts.scattering)
+    # tolerance: fixture LUTs are computed under jit (different fusion
+    # rounding than this eager recomputation)
+    np.testing.assert_allclose(got, expect, rtol=5e-3, atol=1e-7)
+    # and the division must matter (multi is not annihilated):
+    assert float(np.abs(np.asarray(multi)).max()) > 0.0
+
+
+def test_space_ray_sun_disc_transmittance(atm):
+    """A camera above the atmosphere looking away from the planet keeps
+    transmittance 1 (the sun disc survives); rays to the ground get 0."""
+    params, luts = atm
+    r_space = float(params.top_radius) * 1.5
+    cam = jnp.array([[0.0, r_space, 0.0]])
+    sun = jnp.array([0.0, 1.0, 0.0])
+    up = jnp.array([[0.0, 1.0, 0.0]])     # away from the planet: miss
+    down = jnp.array([[0.0, -1.0, 0.0]])  # straight down: hits ground
+    _, t_miss = br.get_sky_radiance(params, luts, cam, up, sun, TINY)
+    _, t_ground = br.get_sky_radiance(params, luts, cam, down, sun, TINY)
+    np.testing.assert_allclose(np.asarray(t_miss), 1.0)
+    np.testing.assert_allclose(np.asarray(t_ground), 0.0)
+
+
 def test_sample_atmosphere_image():
     """Whole-sky sampling through the scene-level API produces a finite,
     tonemapped [0,1] image with a bright sun region."""

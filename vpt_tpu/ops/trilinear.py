@@ -12,9 +12,10 @@ Property-fetch semantics mirror render_kernel.cu:909-1014:
 * world -> index conversion happens in the caller (instance transform).
 
 Implementation note: these are jnp gathers over a flat atlas; XLA
-lowers them to dynamic-gather loops on TPU.  The Pallas DDA/brick
-kernels in ops/ replace them on the hot path; these remain the
-reference implementation and the fallback.
+lowers them to dynamic-gather loops on TPU.  The hot engines minimize
+gather COUNT by using the corner-packed table (one row gather per
+trilinear sample; `render.tracking.unified_fetch` additionally packs
+the majorant/skip fields into the same row).
 """
 
 from __future__ import annotations

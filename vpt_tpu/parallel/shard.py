@@ -26,8 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vpt_tpu.core.rng import render_key
 from vpt_tpu.render.film import Film, accumulate
-from vpt_tpu.render.integrator import direct_integrator
 from vpt_tpu.render.params import RenderParams
+from vpt_tpu.render.renderer import trace_rays
 from vpt_tpu.scene.scene import Scene
 
 
@@ -47,15 +47,21 @@ def make_mesh(n_tile: int = 1, n_spp: int = 0, devices=None) -> Mesh:
 
 def _sharded_sample(scene: Scene, params: RenderParams, key, u, v):
     """Body run per device: trace the local slice of pixels with a
-    per-spp-shard RNG stream, then mean over the 'spp' axis."""
+    per-spp-shard RNG stream using the CONFIGURED engine (fused by
+    default — the performance path), then mean over the 'spp' axis."""
     spp_idx = jax.lax.axis_index("spp")
     key = jax.random.fold_in(key, spp_idx)
     kl, ki = jax.random.split(key)
     origin, direction = scene.camera.get_rays(u, v, kl)
-    L, alpha = direct_integrator(scene, params, ki, origin, direction)
+    L, alpha, aux = trace_rays(scene, params, ki, origin, direction)
     L = jax.lax.pmean(L, "spp")
     alpha = jax.lax.pmean(alpha, "spp")
-    return L, alpha
+    B = u.shape[0]
+    cost = aux.get("cost", jnp.zeros(B, jnp.float32))
+    depth = aux.get("depth", jnp.zeros(B, jnp.float32))
+    cost = jax.lax.pmean(cost, "spp")
+    depth = jax.lax.pmean(depth, "spp")
+    return L, alpha, cost, depth
 
 
 def render_step_sharded(scene: Scene, params: RenderParams, film: Film,
@@ -67,8 +73,9 @@ def render_step_sharded(scene: Scene, params: RenderParams, film: Film,
     """
     H, W = params.height, params.width
     n_tile = mesh.shape["tile"]
-    if H % n_tile:
-        raise ValueError(f"height {H} not divisible by tile axis {n_tile}")
+    if (H * W) % n_tile:
+        raise ValueError(f"pixel count {H*W} not divisible by tile axis "
+                         f"{n_tile}")
 
     key = render_key(params.seed, iteration)
     kj = jax.random.fold_in(key, 17)
@@ -85,10 +92,11 @@ def render_step_sharded(scene: Scene, params: RenderParams, film: Film,
         out_specs=P("tile"),
         check_vma=False,
     )
-    L, alpha = fn(u, v)
+    L, alpha, cost, depth = fn(u, v)
     value = L.reshape(H, W, 3)
     alpha = alpha.reshape(H, W)
-    return accumulate(film, value, alpha, iteration)
+    return accumulate(film, value, alpha, iteration,
+                      depth=depth.reshape(H, W), cost=cost.reshape(H, W))
 
 
 def render_sharded(scene: Scene, params: RenderParams, spp: int, mesh: Mesh

@@ -413,12 +413,8 @@ def _rmumusnu_from_scattering_frag(p, fx, fy, fz, dims: LutDims):
 
     below = u_mu < 0.5
     # ground branch
-    x_g = 1.0 - u_mu * 2.0
     d_g_min = r - p.bottom_radius
     d_g_max = rho
-    d_g = d_g_min + (d_g_max - d_g_min) * _unit_from_uv(
-        1.0 - (fy + 0.5) / dims.mu * 2.0 + 1.0 / dims.mu, dims.mu // 2)
-    # Simpler: recompute with unit ranges
     x_mu_g = _unit_from_uv(1.0 - 2.0 * (fy + 0.5) / dims.mu, dims.mu // 2)
     d_g = d_g_min + (d_g_max - d_g_min) * x_mu_g
     mu_g = jnp.where(d_g == 0.0, -1.0,
@@ -448,6 +444,17 @@ def _rmumusnu_from_scattering_frag(p, fx, fy, fz, dims: LutDims):
     hi = mu * mu_s + _safe_sqrt((1.0 - mu * mu) * (1.0 - mu_s * mu_s))
     nu = jnp.clip(nu, lo, hi)
     return r, mu, mu_s, nu, hits_ground
+
+
+def _scattering_texel_nu(p, dims: LutDims):
+    """nu at every texel of the 4-D scattering texture, shape
+    (r, mu, scattering_w) — used to pre-divide stored multiple
+    scattering by the Rayleigh phase (atmosphere_kernels.cu:696)."""
+    fz = jnp.arange(dims.r, dtype=jnp.float32)[:, None, None]
+    fy = jnp.arange(dims.mu, dtype=jnp.float32)[None, :, None]
+    fx = jnp.arange(dims.scattering_w, dtype=jnp.float32)[None, None, :]
+    _, _, _, nu, _ = _rmumusnu_from_scattering_frag(p, fx, fy, fz, dims)
+    return nu
 
 
 def sample_scattering(p, tex, r, mu, mu_s, nu, hits_ground, dims: LutDims):
@@ -626,12 +633,14 @@ def compute_scattering_density_lut(p, ttex, ray_tex, mie_tex, multi_tex,
         Li = _combined_scattering_for_density(
             p, ray_tex, mie_tex, multi_tex, r, cos_t, mu_s, nu1, hits_g,
             order, dims)
-        # ground bounce contribution
+        # ground bounce contribution; the irradiance lookup uses the
+        # sun cosine at the ground point, dot(ground_normal, omega_s)
+        # = (r*mu_s + d*nu1)/bottom_radius (atmosphere_kernels.cu:463)
         d_g = dist_to_bottom(p, r, cos_t)
         trans_g = transmittance_between(p, ttex, r, cos_t, d_g, hits_g, dims)
-        gn_dot_s = _clamp_cosine((r * cos_t + d_g) / p.bottom_radius * mu_s)
-        # approximate: ground normal·sun via mu_s at ground point
-        irr_g = sample_irradiance(p, itex, p.bottom_radius, mu_s, dims)
+        mu_s_g = _clamp_cosine((r * mu_s + d_g * nu1) / p.bottom_radius)
+        irr_g = sample_irradiance(
+            p, itex, jnp.full_like(mu_s_g, p.bottom_radius), mu_s_g, dims)
         Li = Li + jnp.where(
             hits_g[:, None],
             trans_g * (p.ground_albedo / jnp.pi) * irr_g, 0.0)
@@ -735,6 +744,13 @@ def precompute(params: AtmosphereParams, dims: LutDims = LutDims(),
     irradiance_acc = jnp.zeros_like(direct_irr)
     irr_prev = direct_irr
     multi_tex = jnp.zeros_like(ray_tex)
+    # orders >= 2 are stored PRE-divided by the Rayleigh phase at the
+    # texel's nu (atmosphere_kernels.cu:696 stores
+    # delta_multiple_scattering / RayleighPhaseFunction(nu)); the
+    # runtime multiplies the combined texture by rayleigh_phase(nu).
+    # multi_tex itself stays raw for the density/irradiance feedback.
+    inv_ray_phase = 1.0 / rayleigh_phase(
+        _scattering_texel_nu(params, dims))[..., None]
     for order in range(2, num_scattering_orders + 1):
         density = compute_scattering_density_lut(
             params, ttex, ray_tex, mie_tex, multi_tex, irr_prev, order, dims)
@@ -742,7 +758,7 @@ def precompute(params: AtmosphereParams, dims: LutDims = LutDims(),
             params, ray_tex, mie_tex, multi_tex, order - 1, dims)
         multi_tex = compute_multiple_scattering_lut(params, ttex, density,
                                                     dims)
-        scattering_acc = scattering_acc + multi_tex
+        scattering_acc = scattering_acc + multi_tex * inv_ray_phase
         irradiance_acc = irradiance_acc + indirect
         irr_prev = indirect
     return AtmosphereLUTs(
@@ -784,9 +800,13 @@ def get_sky_radiance(p, luts, camera, view_ray, sun_direction,
     nu = jnp.sum(view_ray * sun_direction, axis=-1)
     hits_ground = ray_hits_ground(p, r, mu)
 
+    # hits_ground -> 0; ray missing the atmosphere from space -> 1
+    # (the sun disc must survive, render_kernel.cu:712-714);
+    # otherwise the transmittance-to-top lookup
     trans = jnp.where(
-        (outside | hits_ground)[..., None], 0.0,
-        transmittance_to_top(p, luts.transmittance, r, mu, dims))
+        hits_ground[..., None], 0.0,
+        jnp.where(outside[..., None], 1.0,
+                  transmittance_to_top(p, luts.transmittance, r, mu, dims)))
     scat, mie = _combined_scattering(p, luts, r, mu, mu_s, nu, hits_ground,
                                      dims)
     radiance = (scat * rayleigh_phase(nu)[..., None]

@@ -83,9 +83,10 @@ def read_exr(path: str) -> dict[str, np.ndarray]:
         if compression in (2, 3):
             raw = zlib.decompress(raw)
             if len(raw) == expect:
-                # EXR zip predictor + interleave
-                arr = np.frombuffer(raw, np.uint8).astype(np.int16)
-                arr = np.cumsum(arr - 128, dtype=np.int64) % 256
+                # EXR zip predictor + interleave (ImfZip::uncompress):
+                # t[0] = d[0], t[i] = t[i-1] + d[i] - 128
+                arr = np.frombuffer(raw, np.uint8)
+                arr = (np.cumsum(arr.astype(np.int64) - 128) + 128) % 256
                 arr = arr.astype(np.uint8)
                 half = (len(arr) + 1) // 2
                 inter = np.zeros(len(arr), np.uint8)
@@ -113,8 +114,21 @@ def read_exr_rgb(path: str) -> np.ndarray:
     raise ValueError(f"{path}: no RGB channels in {list(ch)}")
 
 
-def write_exr(path: str, channels: dict[str, np.ndarray]):
-    """Uncompressed FLOAT scanline EXR."""
+def _zip_encode(raw: bytes) -> bytes:
+    """ImfZip::compress: interleave split, then delta predictor."""
+    arr = np.frombuffer(raw, np.uint8)
+    split = np.concatenate([arr[0::2], arr[1::2]]).astype(np.int64)
+    delta = np.empty_like(split)
+    delta[0] = split[0]
+    delta[1:] = split[1:] - split[:-1] + 128
+    return zlib.compress((delta % 256).astype(np.uint8).tobytes())
+
+
+def write_exr(path: str, channels: dict[str, np.ndarray],
+              compression: str = "none"):
+    """FLOAT scanline EXR writer (compression: "none" | "zip" | "zips")."""
+    comp_id = {"none": 0, "zips": 2, "zip": 3}[compression]
+    lines_per_block = {0: 1, 2: 1, 3: 16}[comp_id]
     names = sorted(channels)
     H, W = channels[names[0]].shape
     for c in names:
@@ -132,7 +146,7 @@ def write_exr(path: str, channels: dict[str, np.ndarray]):
     box = struct.pack("<4i", 0, 0, W - 1, H - 1)
     header = b"".join([
         attr("channels", "chlist", chlist),
-        attr("compression", "compression", b"\x00"),
+        attr("compression", "compression", bytes([comp_id])),
         attr("dataWindow", "box2i", box),
         attr("displayWindow", "box2i", box),
         attr("lineOrder", "lineOrder", b"\x00"),
@@ -142,14 +156,30 @@ def write_exr(path: str, channels: dict[str, np.ndarray]):
         b"\x00",
     ])
     head = struct.pack("<iI", MAGIC, 2) + header
-    table_pos = len(head)
-    data_start = table_pos + 8 * H
-    line_bytes = 8 + W * 4 * len(names)
-    offsets = [data_start + i * line_bytes for i in range(H)]
+    n_blocks = -(-H // lines_per_block)
+    blocks = []
+    for b in range(n_blocks):
+        y0 = b * lines_per_block
+        nlines = min(lines_per_block, H - y0)
+        raw = b"".join(
+            b"".join(np.ascontiguousarray(channels[c][y],
+                                          np.float32).tobytes()
+                     for c in names)
+            for y in range(y0, y0 + nlines))
+        if comp_id:
+            enc = _zip_encode(raw)
+            if len(enc) >= len(raw):  # EXR stores raw if zip doesn't win
+                enc = raw
+        else:
+            enc = raw
+        blocks.append((y0, enc))
+    data_start = len(head) + 8 * n_blocks
+    offsets, pos = [], data_start
+    for _y0, enc in blocks:
+        offsets.append(pos)
+        pos += 8 + len(enc)
     body = b"".join(struct.pack("<q", o) for o in offsets)
-    for y in range(H):
-        row = b"".join(np.ascontiguousarray(
-            channels[c][y], np.float32).tobytes() for c in names)
-        body += struct.pack("<iI", y, len(row)) + row
+    for (y0, enc) in blocks:
+        body += struct.pack("<iI", y0, len(enc)) + enc
     with open(path, "wb") as f:
         f.write(head + body)
