@@ -1,20 +1,25 @@
-"""Benchmark: dragon.vdb render throughput on the available device.
+"""Benchmark suite: all five BASELINE.md scenario configs on the
+available device, plus the north-star 1080p wall-clock.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "Mrays/s", "vs_baseline": N}
+Prints ONE JSON line.  Primary metric (driver contract):
+  {"metric": "...", "value": N, "unit": "Mrays/s", "vs_baseline": N, ...}
 
-Metric: primary rays traced per second (width*height*spp / wall time)
-on the BASELINE config-1 scene (dragon.vdb, one point light, 512x512,
-no atmosphere, ray_depth 50 / volume_depth 1 — the reference's default
-kernel params, main.cpp:1350-1376).
+Extra keys for the full picture:
+  "scenarios": {name: {ms_per_spp, mrays_per_s, trunc_frac}}
+  "north_star_1080p": {ms_per_spp, wallclock_1024spp_s, measured}
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); we use
-a documented estimate of VPT on an RTX-class GPU for this scene:
-~30 Mrays/s primary throughput (1080p at ~15 fps progressive preview).
+a documented estimate of VPT on an RTX-class GPU for config 1:
+~30 Mrays/s primary throughput.
+
+Truncation audit: the fused engine reports per-ray step-budget
+truncation (fused.py `unfinished`); every scenario reports the
+fraction (must be 0 for honest throughput — VERDICT r1 weak #5).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -24,17 +29,19 @@ import numpy as np
 
 BASELINE_MRAYS = 30.0
 
-WIDTH = int(os.environ.get("BENCH_WIDTH", 512))
-HEIGHT = int(os.environ.get("BENCH_HEIGHT", 512))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 2))
 ITERS = int(os.environ.get("BENCH_ITERS", 16))
 ENGINE = os.environ.get("BENCH_ENGINE", "fused")
 FUSED_STEPS = int(os.environ.get("BENCH_FUSED_STEPS", 128))
+FULL_1080 = os.environ.get("BENCH_FULL_1080P", "0") == "1"
+ONLY = os.environ.get("BENCH_ONLY", "")  # comma-sep scenario filter
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
-    import dataclasses
-
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.jax_compile_cache"))
@@ -44,49 +51,207 @@ def main():
     from vpt_tpu.lights.lights import PointLights
     from vpt_tpu.render.film import Film
     from vpt_tpu.render.params import Environment, RenderParams
-    from vpt_tpu.render.renderer import render_step
-    from vpt_tpu.scene.scene import load_vdb_scene
+    from vpt_tpu.render.renderer import render_rays, render_step
+    from vpt_tpu.scene.scene import build_scene, load_vdb_scene
+    from vpt_tpu.volume.grid import HostGrid
 
     dev = jax.devices()[0]
-    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}",
-          file=sys.stderr)
+    _log(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}")
 
-    lights = PointLights.make([[5.0, 8.0, 12.0]], [[1.0, 1.0, 1.0]], [300.0])
-    scene = load_vdb_scene("/root/reference/assets/dragon.vdb", lights=lights)
-    c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
-    cam = Camera.make(c + np.array([0.0, 1.0, 10.0]), c, vfov=40.0,
-                      aspect=WIDTH / HEIGHT)
-    scene = dataclasses.replace(scene, camera=cam)
-    params = RenderParams(width=WIDTH, height=HEIGHT,
-                          environment_type=int(Environment.BLACK),
-                          ray_depth=50, volume_depth=1, max_track_steps=256,
-                          engine=ENGINE, max_fused_steps=FUSED_STEPS)
+    def aim_camera(scene, w, h, dist_scale=1.0, offset=(0.0, 1.0, 10.0)):
+        c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+        off = np.asarray(offset) * dist_scale
+        cam = Camera.make(c + off, c, vfov=40.0, aspect=w / h)
+        return dataclasses.replace(scene, camera=cam)
 
-    film = Film.zeros(HEIGHT, WIDTH)
-    it = 0
-    t0 = time.time()
-    for _ in range(WARMUP):
-        film = render_step(scene, params, film, jnp.uint32(it))
-        it += 1
-    jax.block_until_ready(film.accum)
-    print(f"# warmup (incl. compile): {time.time()-t0:.1f}s", file=sys.stderr)
+    def measure(scene, params, label):
+        """(ms/spp, Mrays/s, trunc_frac) with compile excluded."""
+        film = Film.zeros(params.height, params.width)
+        it = 0
+        t0 = time.time()
+        for _ in range(WARMUP):
+            film = render_step(scene, params, film, jnp.uint32(it))
+            it += 1
+        jax.block_until_ready(film.accum)
+        _log(f"# [{label}] warmup (incl. compile): {time.time()-t0:.1f}s")
+        t0 = time.time()
+        for _ in range(ITERS):
+            film = render_step(scene, params, film, jnp.uint32(it))
+            it += 1
+        # force real completion: fetch a scalar (block_until_ready can
+        # return early through the remote-TPU tunnel)
+        float(film.accum.sum())
+        dt = (time.time() - t0) / ITERS
+        mrays = params.width * params.height / dt / 1e6
+        trunc = -1.0
+        if params.engine == "fused":
+            from vpt_tpu.core.rng import render_key
+            _, _, aux = jax.jit(render_rays)(scene, params,
+                                             render_key(params.seed, 0))
+            trunc = float(np.asarray(aux["trunc"]).mean())
+        _log(f"# [{label}] {dt*1000:.1f} ms/spp  {mrays:.2f} Mrays/s  "
+             f"trunc={trunc:.4f}")
+        return dt * 1000, mrays, trunc
 
-    t0 = time.time()
-    for _ in range(ITERS):
-        film = render_step(scene, params, film, jnp.uint32(it))
-        it += 1
-    jax.block_until_ready(film.accum)
-    dt = time.time() - t0
+    def blob(n=64, emission=False, color=False):
+        z, y, x = np.mgrid[:n, :n, :n].astype(np.float32)
+        r = np.sqrt((x - n / 2) ** 2 + (y - n / 2) ** 2 + (z - n / 2) ** 2)
+        base = np.clip(1.0 - r / (n / 2.2), 0.0, 1.0)
+        ang = np.sin(x * 0.4) * np.sin(y * 0.35) * np.sin(z * 0.3)
+        dens = np.clip(base * (0.6 + 0.8 * ang), 0.0, 1.0).astype(np.float32)
+        em = (dens * 0.9).astype(np.float32) if emission else None
+        col = None
+        if color:
+            col = np.stack([0.9 * dens, 0.4 + 0.3 * dens,
+                            0.2 * np.ones_like(dens)], -1).astype(np.float32)
+        return HostGrid(
+            density_zyx=dens, emission_zyx=em, color_zyx=col,
+            bbox_min=np.zeros(3, np.int32),
+            dim=np.array([n, n, n], np.int32),
+            transform=np.diag([0.1, 0.1, 0.1, 1.0]), voxel_size=0.1,
+            max_density=float(dens.max()), min_density=1e-6)
 
-    rays = WIDTH * HEIGHT * ITERS
-    mrays = rays / dt / 1e6
-    print(f"# {ITERS} spp at {WIDTH}x{HEIGHT} in {dt:.2f}s "
-          f"({dt/ITERS*1000:.0f} ms/spp)", file=sys.stderr)
+    results = {}
+    W = H = 512
+    base_kw = dict(width=W, height=H, ray_depth=50, volume_depth=1,
+                   max_track_steps=256, engine=ENGINE,
+                   max_fused_steps=FUSED_STEPS)
+
+    def want(name):
+        return not ONLY or name in ONLY.split(",")
+
+    # ---- config 1: dragon.vdb, one point light, no atmosphere ----------
+    dragon_scene = None
+    if want("config1_dragon") or want("north_star"):
+        lights = PointLights.make([[5.0, 8.0, 12.0]], [[1.0, 1.0, 1.0]],
+                                  [300.0])
+        dragon_scene = load_vdb_scene("/root/reference/assets/dragon.vdb",
+                                      lights=lights)
+    if want("config1_dragon"):
+        scene = aim_camera(dragon_scene, W, H)
+        params = RenderParams(environment_type=int(Environment.BLACK),
+                              **base_kw)
+        ms, mr, tr = measure(scene, params, "config1_dragon")
+        results["config1_dragon"] = dict(ms_per_spp=round(ms, 2),
+                                         mrays_per_s=round(mr, 3),
+                                         trunc_frac=tr)
+
+    # ---- config 2: emission + blackbody LUT (fireball analog) ----------
+    if want("config2_fireball"):
+        scene = build_scene([blob(emission=True)])
+        scene = aim_camera(scene, W, H, offset=(0.0, 1.0, 9.0))
+        params = RenderParams(environment_type=int(Environment.BLACK),
+                              emission_scale=2.0, emission_pivot=1.0,
+                              **base_kw)
+        ms, mr, tr = measure(scene, params, "config2_fireball")
+        results["config2_fireball"] = dict(ms_per_spp=round(ms, 2),
+                                           mrays_per_s=round(mr, 3),
+                                           trunc_frac=tr)
+
+    # ---- config 3: colored smoke + HDRI env + DOF ----------------------
+    if want("config3_smoke_hdri"):
+        from vpt_tpu.scene.scene import attach_env_map
+        eh, ew = 128, 256
+        ty = np.linspace(1.0, 0.0, eh, dtype=np.float32)[:, None, None]
+        env = (np.array([0.35, 0.55, 1.0], np.float32) * ty
+               + np.array([0.9, 0.6, 0.3], np.float32) * (1 - ty))
+        env = np.broadcast_to(env, (eh, ew, 3)).copy()
+        env[eh // 4, ew // 3] = [60.0, 55.0, 45.0]  # bright "sun" texel
+        scene = build_scene([blob(color=True)])
+        scene = attach_env_map(scene, env)
+        c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+        cam = Camera.make(c + np.array([0.0, 1.0, 9.0]), c, vfov=40.0,
+                          aspect=1.0, aperture=0.25)
+        scene = dataclasses.replace(scene, camera=cam)
+        params = RenderParams(environment_type=int(Environment.HDRI),
+                              **base_kw)
+        ms, mr, tr = measure(scene, params, "config3_smoke_hdri")
+        results["config3_smoke_hdri"] = dict(ms_per_spp=round(ms, 2),
+                                             mrays_per_s=round(mr, 3),
+                                             trunc_frac=tr)
+
+    # ---- config 4: Bruneton planetary atmosphere -----------------------
+    if want("config4_atmosphere"):
+        from vpt_tpu.scene.scene import attach_atmosphere
+        from vpt_tpu.sky.bruneton import LutDims
+        half = LutDims(transmittance_w=128, transmittance_h=32, r=16,
+                       mu=64, mu_s=16, nu=4, irradiance_w=32,
+                       irradiance_h=8)
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "out", "atmo_bench_cache.npz")
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        scene = build_scene([blob()])
+        scene = attach_atmosphere(scene, cache_path=cache, dims=half)
+        scene = aim_camera(scene, W, H, offset=(0.0, 0.5, 9.0))
+        params = RenderParams(environment_type=int(Environment.ATMOSPHERE),
+                              **base_kw)
+        ms, mr, tr = measure(scene, params, "config4_atmosphere")
+        results["config4_atmosphere"] = dict(ms_per_spp=round(ms, 2),
+                                             mrays_per_s=round(mr, 3),
+                                             trunc_frac=tr)
+
+    # ---- config 5: instanced cloudscape (thousands of instances) -------
+    if want("config5_cloudscape"):
+        rng = np.random.RandomState(7)
+        n_inst = int(os.environ.get("BENCH_INSTANCES", 1024))
+        cloud = blob(n=24)
+        ids, xforms = [], []
+        for i in range(n_inst):
+            t = np.array([rng.uniform(0, 120), rng.uniform(0, 14),
+                          rng.uniform(0, 120)])
+            s = rng.uniform(0.7, 1.6)
+            xf = np.diag([0.1 * s, 0.1 * s, 0.1 * s, 1.0])
+            xf[3, :3] = t
+            ids.append(0)
+            xforms.append(xf)
+        scene = build_scene([cloud], instance_grid_ids=ids,
+                            instance_xforms=xforms)
+        assert scene.majorant.cell_instances is not None
+        K = int(scene.majorant.cell_instances.shape[-1])
+        _log(f"# [config5] {n_inst} instances, per-cell K={K}")
+        c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+        eye = c + np.array([0.0, 30.0, 90.0])
+        cam = Camera.make(eye, c, vfov=50.0, aspect=1.0)
+        scene = dataclasses.replace(scene, camera=cam)
+        params = RenderParams(environment_type=int(Environment.CONSTANT),
+                              **base_kw)
+        ms, mr, tr = measure(scene, params, "config5_cloudscape")
+        results["config5_cloudscape"] = dict(
+            ms_per_spp=round(ms, 2), mrays_per_s=round(mr, 3),
+            trunc_frac=tr, n_instances=n_inst, cell_list_k=K)
+
+    # ---- north star: 1080p dragon, wall-clock to 1024 spp --------------
+    north = {}
+    if want("north_star") and dragon_scene is not None:
+        scene = aim_camera(dragon_scene, 1920, 1080)
+        params = RenderParams(environment_type=int(Environment.BLACK),
+                              **{**base_kw, "width": 1920, "height": 1080})
+        ms, mr, tr = measure(scene, params, "north_star_1080p")
+        if FULL_1080:
+            film = Film.zeros(1080, 1920)
+            t0 = time.time()
+            for it in range(1024):
+                film = render_step(scene, params, film, jnp.uint32(it))
+            float(film.accum.sum())
+            wall = time.time() - t0
+            north = dict(ms_per_spp=round(ms, 2),
+                         mrays_per_s=round(mr, 3),
+                         wallclock_1024spp_s=round(wall, 1), measured=True)
+        else:
+            north = dict(ms_per_spp=round(ms, 2),
+                         mrays_per_s=round(mr, 3),
+                         wallclock_1024spp_s=round(ms * 1024 / 1000, 1),
+                         measured=False)
+
+    primary = results.get("config1_dragon", {}).get("mrays_per_s", 0.0)
     print(json.dumps({
         "metric": "primary Mrays/s/chip (dragon.vdb 512x512, config-1)",
-        "value": round(mrays, 3),
+        "value": primary,
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "vs_baseline": round(primary / BASELINE_MRAYS, 4),
+        "scenarios": results,
+        "north_star_1080p": north,
+        "engine": ENGINE,
     }))
 
 

@@ -110,6 +110,63 @@ def test_space_ray_sun_disc_transmittance(atm):
     np.testing.assert_allclose(np.asarray(t_ground), 0.0)
 
 
+def test_luminance_constants_match_bruneton():
+    """The APPROXIMATE-mode k constants (atmosphere.cpp:184-214)
+    reproduce the reference implementation's published values (computed
+    from the same solar spectrum + CIE observer) to ~1%."""
+    wl, solar, *_ = br._spectral_tables()
+    sky_k = br.spectral_radiance_to_luminance_factors(wl, solar, -3)
+    sun_k = br.spectral_radiance_to_luminance_factors(wl, solar, 0)
+    np.testing.assert_allclose(sky_k, [114974.9, 71305.9, 65310.5],
+                               rtol=0.02)
+    np.testing.assert_allclose(sun_k, [98242.8, 69954.4, 66475.0],
+                               rtol=0.02)
+
+
+def test_white_balance_point():
+    """convert_spectrum_to_linear_srgb (atmosphere.cpp:217-233,
+    677-695): warm solar white point, normalized to mean 1."""
+    wl, solar, *_ = br._spectral_tables()
+    wp = br.white_point_srgb(wl, solar)
+    assert abs(wp.mean() - 1.0) < 1e-9
+    assert wp[0] > wp[2]  # solar spectrum is warm: red > blue
+    p = br.default_model(do_white_balance=True)
+    np.testing.assert_allclose(np.asarray(p.white_point), wp, rtol=1e-6)
+
+
+def test_precomputed_luminance_pipeline():
+    """15-λ batched precompute (atmosphere.cpp:828-872) at tiny dims:
+    finite LUTs in illuminance/683 units; the sky evaluated through the
+    scene API stays finite and sun-bright."""
+    luts = br.precompute_luminance(dims=TINY, num_scattering_orders=2,
+                                   num_wavelengths=6)
+    for tex in (luts.transmittance, luts.scattering, luts.single_mie,
+                luts.irradiance):
+        assert np.isfinite(np.asarray(tex)).all()
+    # illuminance-scale scattering: ~1e2-1e4 x the radiance texture
+    p_rad = br.default_model()
+    luts_rad = jax.jit(br.precompute,
+        static_argnames=("dims", "num_scattering_orders"))(
+        p_rad, dims=TINY, num_scattering_orders=2)
+    ratio = (float(np.abs(np.asarray(luts.scattering)).mean())
+             / max(float(np.abs(np.asarray(luts_rad.scattering)).mean()),
+                   1e-30))
+    assert 10.0 < ratio < 1e6, ratio
+
+    from vpt_tpu.sky.runtime import Atmosphere, sample_atmosphere
+    p_lum = br.default_model(use_luminance=2)
+    atm = Atmosphere(params=p_lum, luts=luts, dims=TINY)
+    n = 8
+    theta = jnp.linspace(0.1, jnp.pi / 2 - 0.1, n)
+    dirs = jnp.stack([jnp.sin(theta), jnp.cos(theta),
+                      jnp.zeros_like(theta)], -1)
+    img = np.asarray(sample_atmosphere(
+        atm, jnp.zeros((n, 3)), dirs, 90.0, 30.0, TINY))
+    assert np.isfinite(img).all()
+    assert (img >= 0).all() and (img <= 1.0).all()
+    assert img.max() > 0.01
+
+
 def test_sample_atmosphere_image():
     """Whole-sky sampling through the scene-level API produces a finite,
     tonemapped [0,1] image with a bright sun region."""

@@ -1,0 +1,77 @@
+"""Interactive viewer: server endpoints + param-change restart
+(the reference's progressive restart logic, main.cpp:1666-1780)."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from vpt_tpu.render.params import Environment, RenderParams
+
+
+@pytest.fixture(scope="module")
+def viewer_url():
+    import dataclasses
+
+    from tests.test_scenarios import _blob_grid, _cam_for
+    from vpt_tpu.app import viewer as viewer_mod
+    from vpt_tpu.scene.scene import build_scene
+
+    scene = build_scene([_blob_grid()])
+    scene = dataclasses.replace(scene, camera=_cam_for(scene))
+    params = RenderParams(width=24, height=24, ray_depth=3,
+                          max_track_steps=48, max_fused_steps=128,
+                          environment_type=int(Environment.CONSTANT))
+    port = 18787
+    state_holder = {}
+
+    def run():
+        state_holder["state"] = viewer_mod.serve(scene, params, port=port)
+
+    # serve() blocks; run it in a thread and shut down cleanly after
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    url = f"http://127.0.0.1:{port}"
+    for _ in range(120):
+        try:
+            urllib.request.urlopen(url + "/status", timeout=2)
+            break
+        except Exception:
+            time.sleep(0.5)
+    yield url
+    # teardown: stop the render loop BEFORE interpreter shutdown (a
+    # live jax call on a dying daemon thread aborts the process)
+    import vpt_tpu.app.viewer as vm
+    st = vm._LAST_STATE
+    if st is not None:
+        st.running = False
+        st.thread.join(timeout=30)
+
+
+def _get(url):
+    return urllib.request.urlopen(url, timeout=30).read()
+
+
+def test_viewer_serves_page_and_frames(viewer_url):
+    page = _get(viewer_url + "/").decode()
+    assert "vpt viewer" in page and "sun azimuth" in page
+    png = _get(viewer_url + "/frame.png")
+    assert png[:4] == b"\x89PNG"
+    st = json.loads(_get(viewer_url + "/status"))
+    assert st["spp"] >= 0
+
+
+def test_viewer_param_change_restarts(viewer_url):
+    # let it accumulate a few spp
+    for _ in range(100):
+        if json.loads(_get(viewer_url + "/status"))["spp"] >= 3:
+            break
+        time.sleep(0.3)
+    before = json.loads(_get(viewer_url + "/status"))["spp"]
+    assert before >= 3
+    _get(viewer_url + "/set?name=density_mult&value=2.0")
+    after = json.loads(_get(viewer_url + "/status"))["spp"]
+    assert after < before  # accumulation restarted

@@ -34,14 +34,60 @@ def _dilate_max(grid: np.ndarray, r: int) -> np.ndarray:
     return out
 
 
+def _build_cell_lists(pmins, pmaxs, root_pmin, root_pmax, R: int,
+                      pad_cells: int = 1, k_max: int = 600):
+    """Per-cell overlapping-instance id lists, -1 padded to the max
+    observed overlap (the flat equivalent of OCTNode.vol_indices[600],
+    AABB.h:217-234; k_max mirrors the reference's 600 cap).
+
+    Conservative: an instance is listed in every cell its world AABB
+    (padded by `pad_cells` for trilinear spill) touches, so any point
+    with nonzero density from instance i has i in its cell's list.
+    """
+    n = len(pmins)
+    cell = (root_pmax - root_pmin) / R
+    lo = np.floor((pmins - root_pmin) / cell).astype(np.int64) - pad_cells
+    hi = np.floor((pmaxs - root_pmin) / cell).astype(np.int64) + pad_cells
+    lo = np.clip(lo, 0, R - 1)
+    hi = np.clip(hi, 0, R - 1)
+
+    counts = np.zeros((R, R, R), np.int32)  # [z, y, x]
+    for i in range(n):
+        counts[lo[i, 2]:hi[i, 2] + 1, lo[i, 1]:hi[i, 1] + 1,
+               lo[i, 0]:hi[i, 0] + 1] += 1
+    K = int(min(max(counts.max(), 1), k_max))
+    if counts.max() > k_max:
+        from vpt_tpu.utils.logger import VPT_WARNING, log
+        log(f"cell instance overlap {counts.max()} exceeds cap {k_max}; "
+            f"densities under-counted in hot cells", VPT_WARNING)
+
+    table = np.full((R, R, R, K), -1, np.int32)
+    fill = np.zeros((R, R, R), np.int32)
+    for i in range(n):
+        sl = (slice(lo[i, 2], hi[i, 2] + 1), slice(lo[i, 1], hi[i, 1] + 1),
+              slice(lo[i, 0], hi[i, 0] + 1))
+        f = fill[sl]
+        zz, yy, xx = np.nonzero(f < K)
+        view = table[sl]
+        view[zz, yy, xx, f[zz, yy, xx]] = i
+        fill[sl] = f + (f < K)
+    return table.reshape(R * R * R, K)
+
+
 def build_majorant_grid(host_grids, instance_grid_ids, xforms,
-                        root_pmin, root_pmax, resolution: int):
+                        root_pmin, root_pmax, resolution: int,
+                        instance_bounds=None):
     """Returns a MajorantGrid pytree (scene.py dataclass).
 
     Splat each instance's nonzero voxels into world-space cells
     (max-reduce), then dilate by the worst-case trilinear influence
     radius in cells so the per-cell value is a true majorant of the
     interpolated field.
+
+    ``instance_bounds``: optional (pmins, pmaxs) per-instance world
+    AABBs — when given, per-cell instance lists are built so the
+    density fetch visits only the cell's overlapping instances
+    (config-5 scale; render_kernel.cu:1003-1014).
     """
     from vpt_tpu.scene.scene import MajorantGrid
 
@@ -90,11 +136,18 @@ def build_majorant_grid(host_grids, instance_grid_ids, xforms,
 
     packed = np.stack([grid_max.reshape(-1),
                        skip.reshape(-1).astype(np.float32)], axis=-1)
+    cell_instances = None
+    if instance_bounds is not None:
+        pmins, pmaxs = instance_bounds
+        cell_instances = jnp.asarray(_build_cell_lists(
+            np.asarray(pmins, np.float64), np.asarray(pmaxs, np.float64),
+            root_pmin, root_pmax, R, pad_cells=max(r_cells, 1)))
     return MajorantGrid(
         max_density=jnp.asarray(grid_max),
         occupied=jnp.asarray(occ),
         skip_dist=jnp.asarray(skip),
         packed=jnp.asarray(packed),
+        cell_instances=cell_instances,
     )
 
 

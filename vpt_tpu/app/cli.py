@@ -17,6 +17,8 @@ import dataclasses
 import sys
 import time
 
+from vpt_tpu.utils.logger import log
+
 
 def build_parser():
     ap = argparse.ArgumentParser(prog="vpt", description=__doc__)
@@ -63,6 +65,22 @@ def build_parser():
                    help="also save raw radiance as EXR next to output")
     r.add_argument("--aov", choices=["none", "alpha", "cost", "depth"],
                    default="none", help="save an extra AOV image")
+
+    v = sub.add_parser("view", help="interactive progressive viewer "
+                       "(web page with live parameter controls)")
+    v.add_argument("scene", help=".vdb/.ins/.hdr path or 'procedural'")
+    v.add_argument("env", nargs="?", default=None)
+    v.add_argument("--width", type=int, default=384)
+    v.add_argument("--height", type=int, default=384)
+    v.add_argument("--ray-depth", type=int, default=50)
+    v.add_argument("--env-type",
+                   choices=["atmosphere", "hdri", "black", "constant"],
+                   default=None)
+    v.add_argument("--light", nargs=7, type=float, action="append",
+                   metavar="V", default=None)
+    v.add_argument("--port", type=int, default=8787)
+    v.add_argument("--cpu", action="store_true")
+    v.add_argument("--open", action="store_true", help="open a browser")
     return ap
 
 
@@ -108,7 +126,7 @@ def cmd_render(args):
 
     t0 = time.time()
     scene = _load_scene(args, lights)
-    print(f"[vpt] scene loaded in {time.time()-t0:.1f}s", file=sys.stderr)
+    log(f"scene loaded in {time.time()-t0:.1f}s")
 
     if args.camera:
         cam = Camera.make(args.camera[:3], args.camera[3:], vfov=args.fov,
@@ -158,8 +176,7 @@ def cmd_render(args):
         img = r.display_image()[::-1]
     dt = time.time() - t0
     rays = args.width * args.height * args.spp
-    print(f"[vpt] {args.spp} spp in {dt:.1f}s "
-          f"({rays/dt/1e6:.2f} Mrays/s)", file=sys.stderr)
+    log(f"{args.spp} spp in {dt:.1f}s ({rays/dt/1e6:.2f} Mrays/s)")
 
     from vpt_tpu.utils.io import save_image
     save_image(args.output, img, accum=np.asarray(film.accum)[::-1],
@@ -168,13 +185,48 @@ def cmd_render(args):
         aov = np.asarray(getattr(film, args.aov))[::-1]
         from vpt_tpu.utils.io import save_aov
         save_aov(args.output, args.aov, aov)
-    print(f"[vpt] wrote {args.output}", file=sys.stderr)
+    log(f"wrote {args.output}")
+
+
+def cmd_view(args):
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from vpt_tpu.core.camera import Camera
+    from vpt_tpu.lights.lights import PointLights
+    from vpt_tpu.render.params import Environment, RenderParams
+
+    lights = PointLights.empty()
+    if args.light:
+        arr = np.array(args.light)
+        lights = PointLights.make(arr[:, 0:3], arr[:, 3:6], arr[:, 6])
+    scene = _load_scene(args, lights)
+    c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+    dist = float(np.linalg.norm(
+        np.asarray(scene.root_pmax) - np.asarray(scene.root_pmin))) * 1.2
+    cam = Camera.make(c + np.array([0.0, dist * 0.15, dist]), c, vfov=40.0,
+                      aspect=args.width / args.height)
+    scene = dataclasses.replace(scene, camera=cam)
+    env_name = args.env_type or ("hdri" if (args.env or args.scene.endswith(
+        ".hdr")) else "atmosphere")
+    env_type = dict(atmosphere=Environment.ATMOSPHERE, hdri=Environment.HDRI,
+                    black=Environment.BLACK,
+                    constant=Environment.CONSTANT)[env_name]
+    params = RenderParams(width=args.width, height=args.height,
+                          ray_depth=args.ray_depth,
+                          environment_type=int(env_type))
+    from vpt_tpu.app.viewer import serve
+    serve(scene, params, port=args.port, open_browser=args.open)
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cmd == "render":
         cmd_render(args)
+    elif args.cmd == "view":
+        cmd_view(args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,183 @@
+"""Interactive progressive viewer — the headless-era equivalent of the
+reference's GLFW/ImGui app (main.cpp:1527-1860): a local web page shows
+the film refining live; slider changes restart accumulation
+(main.cpp:1666-1780), and dynamic-parameter changes re-render WITHOUT
+recompiling (they are traced jit inputs, not constants).
+
+Usage:  `vpt view scene.vdb` then open http://localhost:8787
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from vpt_tpu.utils.logger import log
+
+# (name, label, min, max, step) — the ImGui slider set (main.cpp:1565-1641)
+_DYNAMIC_SLIDERS = [
+    ("exposure_scale", "exposure", 0.05, 20.0, 0.05),
+    ("azimuth", "sun azimuth", 0.0, 360.0, 1.0),
+    ("elevation", "sun elevation", 0.0, 90.0, 0.5),
+    ("sun_mult", "sun multiplier", 0.0, 10.0, 0.1),
+    ("sky_mult", "sky multiplier", 0.0, 10.0, 0.1),
+    ("phase_g1", "phase g1", -0.95, 0.95, 0.01),
+    ("density_mult", "density", 0.05, 10.0, 0.05),
+    ("emission_scale", "emission", 0.0, 10.0, 0.1),
+    ("energy_inject", "energy", 0.0, 5.0, 0.05),
+    ("tr_depth", "tr depth", 0.1, 5.0, 0.1),
+]
+
+_PAGE = """<!doctype html><html><head><title>vpt viewer</title><style>
+body{background:#111;color:#ddd;font:13px sans-serif;display:flex;margin:0}
+#img{image-rendering:pixelated;margin:12px;border:1px solid #333}
+#panel{padding:12px;min-width:280px}
+label{display:block;margin-top:8px}
+input[type=range]{width:240px}
+#stat{color:#8c8;margin-bottom:8px}
+</style></head><body>
+<img id="img" width="__W__" height="__H__"/>
+<div id="panel"><div id="stat">starting…</div>__SLIDERS__
+<button onclick="fetch('/reset')">restart accumulation</button>
+<button onclick="window.open('/frame.png')">save frame</button>
+</div>
+<script>
+function setp(n,v){document.getElementById('v_'+n).textContent=v;
+  fetch('/set?name='+n+'&value='+v);}
+async function tick(){
+  const s=await (await fetch('/status')).json();
+  document.getElementById('stat').textContent=
+    s.spp+' spp — '+s.ms_per_spp.toFixed(1)+' ms/spp';
+  document.getElementById('img').src='/frame.png?t='+Date.now();
+}
+setInterval(tick, 700); tick();
+</script></body></html>"""
+
+
+def _slider_html(params):
+    rows = []
+    for name, label, lo, hi, st in _DYNAMIC_SLIDERS:
+        val = float(getattr(params, name))
+        rows.append(
+            f'<label>{label} <span id="v_{name}">{val:g}</span><br>'
+            f'<input type="range" min="{lo}" max="{hi}" step="{st}" '
+            f'value="{val}" '
+            f"oninput=\"setp('{name}', this.value)\"></label>")
+    return "\n".join(rows)
+
+
+class ViewerState:
+    """Owns the ProgressiveRenderer + a render thread; param updates
+    swap the params pytree and reset the film (the reference's
+    change-detection restart, main.cpp:1666-1780)."""
+
+    def __init__(self, scene, params):
+        from vpt_tpu.render.renderer import ProgressiveRenderer
+        self.lock = threading.Lock()
+        self.renderer = ProgressiveRenderer(scene, params)
+        self.ms_per_spp = 0.0
+        self.running = True
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self):
+        self.thread.start()
+
+    def _loop(self):
+        import jax
+        while self.running:
+            with self.lock:
+                t0 = time.time()
+                self.renderer.step(1)
+                jax.block_until_ready(self.renderer.film.accum)
+                dt = time.time() - t0
+            self.ms_per_spp = 0.8 * self.ms_per_spp + 0.2 * dt * 1000 \
+                if self.ms_per_spp else dt * 1000
+            time.sleep(0.001)
+
+    def set_param(self, name, value):
+        if name not in {s[0] for s in _DYNAMIC_SLIDERS}:
+            raise KeyError(name)
+        with self.lock:
+            self.renderer.params = self.renderer.params.replace(
+                **{name: float(value)})
+            self.renderer.reset()
+
+    def reset(self):
+        with self.lock:
+            self.renderer.reset()
+
+    def frame_png(self) -> bytes:
+        import numpy as np
+        from PIL import Image
+        with self.lock:
+            img = self.renderer.display_image()[::-1]
+            spp = self.renderer.iteration
+        buf = io.BytesIO()
+        Image.fromarray(np.asarray(img)).save(buf, "PNG")
+        del spp
+        return buf.getvalue()
+
+    def status(self) -> dict:
+        return dict(spp=self.renderer.iteration,
+                    ms_per_spp=self.ms_per_spp)
+
+
+_LAST_STATE = None  # test hook: clean shutdown of the render thread
+
+
+def serve(scene, params, host="127.0.0.1", port=8787, open_browser=False):
+    global _LAST_STATE
+    state = ViewerState(scene, params)
+    _LAST_STATE = state
+    state.start()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, body, ctype="text/html"):
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            if u.path == "/":
+                page = (_PAGE.replace("__W__", str(params.width))
+                        .replace("__H__", str(params.height))
+                        .replace("__SLIDERS__",
+                                 _slider_html(state.renderer.params)))
+                self._send(page.encode())
+            elif u.path == "/frame.png":
+                self._send(state.frame_png(), "image/png")
+            elif u.path == "/status":
+                self._send(json.dumps(state.status()).encode(),
+                           "application/json")
+            elif u.path == "/set":
+                q = parse_qs(u.query)
+                state.set_param(q["name"][0], q["value"][0])
+                self._send(b"ok", "text/plain")
+            elif u.path == "/reset":
+                state.reset()
+                self._send(b"ok", "text/plain")
+            else:
+                self.send_error(404)
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    log(f"viewer at http://{host}:{port} (ctrl-c to quit)")
+    if open_browser:
+        import webbrowser
+        webbrowser.open(f"http://{host}:{port}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        state.running = False
+    return state

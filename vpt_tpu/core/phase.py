@@ -101,6 +101,27 @@ def sample_double_hg(wi, key, f, g1, g2, normalized: bool = False):
     return new_dir, val
 
 
+def phase_eval(params, cos_theta, normalized: bool = False):
+    """Config-dispatched phase value: single HG with g1 (the
+    reference's effective integrator behavior) or the two-lobe blend
+    when params.use_double_hg (render_kernel.cu:278-287 — present but
+    dead in the reference's integrators; docs/QUIRKS.md #22)."""
+    if params.use_double_hg:
+        return double_henyey_greenstein(cos_theta, params.phase_f,
+                                        params.phase_g1, params.phase_g2,
+                                        normalized)
+    return henyey_greenstein(cos_theta, params.phase_g1, normalized)
+
+
+def phase_sample(params, direction, key, normalized: bool = False):
+    """Config-dispatched direction sampling around ``direction``.
+    Returns (new_direction, phase_value)."""
+    if params.use_double_hg:
+        return sample_double_hg(-direction, key, params.phase_f,
+                                params.phase_g1, params.phase_g2, normalized)
+    return sample_hg(direction, key, params.phase_g1, normalized)
+
+
 def power_heuristic(nf, f_pdf, ng, g_pdf):
     """MIS power heuristic, beta=2 (light.h:65-69)."""
     f = nf * f_pdf

@@ -118,6 +118,15 @@ def sample_density_8tap(atlas: VolumeAtlas, grid_id, index_pos):
 
 def sample_emission_index(atlas: VolumeAtlas, grid_id, index_pos):
     """Raw emission-channel value (pre-LUT), 0 where absent."""
+    val, valid = sample_emission_index_masked(atlas, grid_id, index_pos)
+    return val
+
+
+def sample_emission_index_masked(atlas: VolumeAtlas, grid_id, index_pos):
+    """(value, valid): valid=False where the grid has no emission
+    channel or the position is outside its box — those positions must
+    contribute NOTHING, not LUT[0] (get_emission returns BLACK before
+    the LUT, render_kernel.cu:960)."""
     dim = atlas.dim[grid_id]
     bmin = atlas.bmin[grid_id]
     offset = atlas.emission_offset[grid_id]
@@ -126,7 +135,8 @@ def sample_emission_index(atlas: VolumeAtlas, grid_id, index_pos):
     i0, i1, frac, inb = _tex_coords(npos, dim)
     val = _gather_trilinear(atlas.emission, i0, i1, frac, dim,
                             jnp.maximum(offset, 0))
-    return jnp.where(has & inb, val, 0.0)
+    valid = has & inb
+    return jnp.where(valid, val, 0.0), valid
 
 
 def sample_color(atlas: VolumeAtlas, grid_id, index_pos):

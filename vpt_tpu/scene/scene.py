@@ -33,6 +33,19 @@ class Instances:
     inv_xform: jax.Array  # (N, 4, 4) f32 world->index
     pmin: jax.Array       # (N, 3) world-space AABB
     pmax: jax.Array       # (N, 3)
+    # denormalized per-instance row: world->index transform + the
+    # instance's grid metadata, so a per-lane dynamic-instance fetch is
+    # ONE row gather (+ the corner-row gather) instead of five
+    # metadata gathers.  Layout (24 floats):
+    #   [0:12]  inv_xform rows m[0,:3], m[1,:3], m[2,:3], m[3,:3]
+    #   [12:15] grid bbox_min (index space)
+    #   [15:18] grid dim (f32, exact — dims are small ints)
+    #   [18]    density atlas offset    (f32 exact, < 2^24 asserted)
+    #   [19]    emission atlas offset   (-1 = channel absent)
+    #   [20]    color atlas offset      (-1 = channel absent)
+    #   [21]    grid max_density
+    #   [22:24] pad
+    packed_rows: jax.Array  # (N, 24) f32
 
     @property
     def count(self) -> int:
@@ -51,6 +64,11 @@ class MajorantGrid:
     skip_dist: jax.Array    # (R, R, R) int32 chebyshev cells to occupancy
     packed: jax.Array       # (R^3, 2) f32 [cell majorant, skip_dist] —
     #                         one row gather serves both lookups
+    # per-cell overlapping-instance lists (the flat analog of
+    # OCTNode.vol_indices[600], AABB.h:217-234), -1-padded to the max
+    # observed overlap K.  None for small scenes where the static
+    # instance loop is cheaper (tracking.scene_density dispatches).
+    cell_instances: Optional[jax.Array] = None  # (R^3, K) int32
 
 
 @jax.tree_util.register_dataclass
@@ -96,6 +114,24 @@ def default_luts():
     return (np.ones((256, 3), np.float32), np.ones((256, 3), np.float32))
 
 
+def _pack_instance_rows(atlas: VolumeAtlas, instance_grid_ids: np.ndarray,
+                        inv_xforms: np.ndarray) -> np.ndarray:
+    """Build the (N, 24) denormalized instance rows (Instances doc)."""
+    gids = np.asarray(instance_grid_ids, np.int64)
+    offs = np.asarray(atlas.offset)[gids]
+    assert int(np.asarray(atlas.offset).max(initial=0)) < (1 << 24), \
+        "atlas too large for f32-exact offsets in instance rows"
+    rows = np.zeros((len(gids), 24), np.float32)
+    rows[:, 0:12] = inv_xforms[:, :4, :3].reshape(len(gids), 12)
+    rows[:, 12:15] = np.asarray(atlas.bmin)[gids]
+    rows[:, 15:18] = np.asarray(atlas.dim)[gids].astype(np.float32)
+    rows[:, 18] = offs.astype(np.float32)
+    rows[:, 19] = np.asarray(atlas.emission_offset)[gids].astype(np.float32)
+    rows[:, 20] = np.asarray(atlas.color_offset)[gids].astype(np.float32)
+    rows[:, 21] = np.asarray(atlas.max_density)[gids]
+    return rows
+
+
 def build_scene(
     host_grids: list[HostGrid],
     instance_grid_ids: list[int] | np.ndarray | None = None,
@@ -107,6 +143,7 @@ def build_scene(
     density_color_lut: np.ndarray | None = None,
     env_map: np.ndarray | None = None,
     majorant_resolution: int = 64,
+    instance_list_threshold: int = 8,
 ) -> Scene:
     """Assemble a device Scene.
 
@@ -153,9 +190,13 @@ def build_scene(
     majorant = None
     if majorant_resolution:
         from vpt_tpu.accel.majorant import build_majorant_grid
+        # per-cell instance lists once the static per-instance fetch
+        # loop stops being the cheaper option (config-5 scale)
+        want_lists = len(instance_grid_ids) > instance_list_threshold
         majorant = build_majorant_grid(
             host_grids, instance_grid_ids, xforms, root_pmin, root_pmax,
-            majorant_resolution)
+            majorant_resolution,
+            instance_bounds=(pmins, pmaxs) if want_lists else None)
 
     if camera is None:
         # default framing similar to main.cpp:1320-1334 (look at volume)
@@ -163,6 +204,9 @@ def build_scene(
         dist = float(np.linalg.norm(root_pmax - root_pmin)) * 1.5
         camera = Camera.make(center + np.array([0.0, 0.0, dist]), center,
                              vfov=30.0, aspect=1.0)
+
+    packed_rows = _pack_instance_rows(
+        atlas, instance_grid_ids, np.asarray(inv_xforms, np.float32))
 
     return Scene(
         atlas=atlas,
@@ -172,6 +216,7 @@ def build_scene(
             inv_xform=jnp.asarray(inv_xforms, jnp.float32),
             pmin=jnp.asarray(pmins, jnp.float32),
             pmax=jnp.asarray(pmaxs, jnp.float32),
+            packed_rows=jnp.asarray(packed_rows),
         ),
         root_pmin=jnp.asarray(root_pmin, jnp.float32),
         root_pmax=jnp.asarray(root_pmax, jnp.float32),

@@ -62,6 +62,64 @@ LAMBDA_MIN, LAMBDA_MAX = 360, 830
 LAMBDA_R, LAMBDA_G, LAMBDA_B = 680.0, 550.0, 440.0
 MAX_LUMINOUS_EFFICACY = 683.0
 
+# Linear-sRGB (D65) from CIE XYZ — the standard matrix
+# (constants.h XYZ_TO_SRGB equivalent).
+XYZ_TO_SRGB = np.array([
+    [3.2406, -1.5372, -0.4986],
+    [-0.9689, 1.8758, 0.0415],
+    [0.0557, -0.2040, 1.0570]])
+
+
+def _cie_piecewise_gauss(lam, mu, s1, s2):
+    s = np.where(lam < mu, s1, s2)
+    return np.exp(-0.5 * ((lam - mu) / s) ** 2)
+
+
+def cie_xyz_bar(lam):
+    """CIE 1931 2-deg color matching functions via the Wyman-Sloan-
+    Shirley multi-lobe Gaussian fit (JCGT 2013) — ~1% accurate, used
+    instead of the tabulated observer (atmosphere constants.h:71-167;
+    parity is statistical here, never bit-exact)."""
+    lam = np.asarray(lam, np.float64)
+    x = (1.056 * _cie_piecewise_gauss(lam, 599.8, 37.9, 31.0)
+         + 0.362 * _cie_piecewise_gauss(lam, 442.0, 16.0, 26.7)
+         - 0.065 * _cie_piecewise_gauss(lam, 501.1, 20.4, 26.2))
+    y = (0.821 * _cie_piecewise_gauss(lam, 568.8, 46.9, 40.5)
+         + 0.286 * _cie_piecewise_gauss(lam, 530.9, 16.3, 31.1))
+    z = (1.217 * _cie_piecewise_gauss(lam, 437.0, 11.8, 36.0)
+         + 0.681 * _cie_piecewise_gauss(lam, 459.0, 26.0, 13.8))
+    return np.stack([x, y, z], axis=-1)
+
+
+def srgb_coeff(lam):
+    """coeff(lambda, component) (atmosphere.cpp:137-145): linear-sRGB
+    response of the CIE observer at `lam`; shape (..., 3) = (r, g, b)."""
+    return cie_xyz_bar(lam) @ XYZ_TO_SRGB.T
+
+
+def spectral_radiance_to_luminance_factors(wavelengths, solar,
+                                           lambda_power):
+    """compute_spectral_radiance_to_luminance_factors
+    (atmosphere.cpp:184-214): the APPROXIMATE-luminance k constants."""
+    lam = np.arange(LAMBDA_MIN, LAMBDA_MAX, 1.0)
+    rgb_bar = srgb_coeff(lam)                       # (L, 3)
+    irr = np.interp(lam, wavelengths, solar)        # (L,)
+    sol_rgb = np.interp([LAMBDA_R, LAMBDA_G, LAMBDA_B], wavelengths, solar)
+    lam_ratio = (lam[:, None]
+                 / np.array([LAMBDA_R, LAMBDA_G, LAMBDA_B])) ** lambda_power
+    k = (rgb_bar * (irr[:, None] / sol_rgb) * lam_ratio).sum(0)
+    return k * MAX_LUMINOUS_EFFICACY  # dlambda = 1
+
+
+def white_point_srgb(wavelengths, solar):
+    """convert_spectrum_to_linear_srgb + normalization
+    (atmosphere.cpp:217-233, 677-695): the white-balance divisor."""
+    lam = np.arange(LAMBDA_MIN, LAMBDA_MAX, 1.0)
+    irr = np.interp(lam, wavelengths, solar)
+    xyz = (cie_xyz_bar(lam) * irr[:, None]).sum(0)
+    rgb = MAX_LUMINOUS_EFFICACY * (XYZ_TO_SRGB @ xyz)
+    return rgb / rgb.mean()
+
 
 @dataclass(frozen=True)
 class LutDims:
@@ -104,8 +162,12 @@ class AtmosphereParams:
     exposure: jax.Array           # ()
     white_point: jax.Array        # (3,)
     earth_center_y: jax.Array     # () = -bottom_radius
-    use_luminance: jax.Array      # () int: 0 none, 1+ luminance
-    sky_spectral_to_rgb: jax.Array  # (3,) luminance_from_radiance diag appr.
+    use_luminance: jax.Array      # () int: 0 NONE, 1 APPROXIMATE,
+    #                                  2 PRECOMPUTED (definitions.h:62)
+    # runtime radiance->luminance constants (definitions.h:55-56):
+    # sky_k multiplies sky/scattering lookups, sun_k the solar terms
+    sky_spectral_to_rgb: jax.Array  # (3,)
+    sun_spectral_to_rgb: jax.Array  # (3,)
 
 
 @jax.tree_util.register_dataclass
@@ -117,10 +179,8 @@ class AtmosphereLUTs:
     irradiance: jax.Array     # (IH, IW, 3)
 
 
-def default_model(use_ozone=True, use_constant_solar=False,
-                  exposure=10.0, use_luminance=0):
-    """Spectral tables (atmosphere.cpp:1195-1224) interpolated at the
-    RGB wavelengths (kDefaultLambdas, atmosphere.h:97)."""
+def _spectral_tables(use_ozone=True, use_constant_solar=False):
+    """Spectral tables at 10 nm bins (atmosphere.cpp:1195-1224)."""
     wl = np.arange(LAMBDA_MIN, LAMBDA_MAX + 1, 10, dtype=np.float64)
     solar = (np.full_like(wl, K_CONSTANT_SOLAR_IRRADIANCE)
              if use_constant_solar else K_SOLAR_IRRADIANCE)
@@ -130,13 +190,35 @@ def default_model(use_ozone=True, use_constant_solar=False,
     mie_scat = mie_all * K_MIE_SINGLE_SCATTERING_ALBEDO
     absorption = (K_MAX_OZONE_NUMBER_DENSITY * K_OZONE_CROSS_SECTION
                   if use_ozone else np.zeros_like(wl))
+    return wl, solar, rayleigh, mie_scat, mie_all, absorption
+
+
+def model_at_lambdas(lams, use_ozone=True, use_constant_solar=False,
+                     exposure=10.0, use_luminance=0,
+                     do_white_balance=False):
+    """AtmosphereParams with the physical spectra interpolated at an
+    arbitrary wavelength triple (the per-batch models of the
+    PRECOMPUTED-luminance pipeline, atmosphere.cpp:838-858)."""
+    wl, solar, rayleigh, mie_scat, mie_all, absorption = _spectral_tables(
+        use_ozone, use_constant_solar)
 
     def interp(tab, lam):
         return np.interp(lam, wl, tab)
 
-    lams = np.array([LAMBDA_R, LAMBDA_G, LAMBDA_B])
+    lams = np.asarray(lams, np.float64)
     sar = 0.00935 / 2.0
     sol3 = np.array([interp(solar, l) for l in lams])
+    if use_luminance == 2:
+        # PRECOMPUTED: textures hold illuminance/683 (sky_k folds the
+        # efficacy back in; atmosphere.cpp:151-157)
+        sky_k = np.full(3, MAX_LUMINOUS_EFFICACY)
+    elif use_luminance == 1:
+        sky_k = spectral_radiance_to_luminance_factors(wl, solar, -3)
+    else:
+        sky_k = np.ones(3)
+    sun_k = (spectral_radiance_to_luminance_factors(wl, solar, 0)
+             if use_luminance else np.ones(3))
+    wp = white_point_srgb(wl, solar) if do_white_balance else np.ones(3)
     params = AtmosphereParams(
         solar_irradiance=jnp.asarray(sol3, jnp.float32),
         sun_angular_radius=jnp.float32(sar),
@@ -148,7 +230,7 @@ def default_model(use_ozone=True, use_constant_solar=False,
         mie_scattering=jnp.asarray(
             [interp(mie_scat, l) for l in lams], jnp.float32),
         mie_extinction=jnp.asarray(
-            [interp(mie_scat, l) for l in lams], jnp.float32),
+            [interp(mie_all, l) for l in lams], jnp.float32),
         mie_exp_scale=jnp.float32(-1.0 / K_MIE_SCALE_HEIGHT),
         mie_phase_g=jnp.float32(0.8),
         absorption_extinction=jnp.asarray(
@@ -160,12 +242,22 @@ def default_model(use_ozone=True, use_constant_solar=False,
         sun_radiance_scale=jnp.asarray(
             sol3 / (np.pi * sar * sar), jnp.float32),
         exposure=jnp.float32(exposure),
-        white_point=jnp.ones(3, jnp.float32),
+        white_point=jnp.asarray(wp, jnp.float32),
         earth_center_y=jnp.float32(-6360000.0),
         use_luminance=jnp.int32(use_luminance),
-        sky_spectral_to_rgb=jnp.ones(3, jnp.float32),
+        sky_spectral_to_rgb=jnp.asarray(sky_k, jnp.float32),
+        sun_spectral_to_rgb=jnp.asarray(sun_k, jnp.float32),
     )
     return params
+
+
+def default_model(use_ozone=True, use_constant_solar=False,
+                  exposure=10.0, use_luminance=0, do_white_balance=False):
+    """Model at the RGB wavelengths (kDefaultLambdas, atmosphere.h:97)."""
+    return model_at_lambdas(
+        np.array([LAMBDA_R, LAMBDA_G, LAMBDA_B]), use_ozone=use_ozone,
+        use_constant_solar=use_constant_solar, exposure=exposure,
+        use_luminance=use_luminance, do_white_balance=do_white_balance)
 
 
 # ---------------------------------------------------------------------------
@@ -767,6 +859,111 @@ def precompute(params: AtmosphereParams, dims: LutDims = LutDims(),
         single_mie=mie_tex,
         irradiance=irradiance_acc,
     )
+
+
+def precompute_chunked(params: AtmosphereParams, dims: LutDims = LutDims(),
+                       num_scattering_orders: int = 4) -> AtmosphereLUTs:
+    """`precompute` with each pipeline stage jitted and executed
+    SEPARATELY (results materialized between stages).  The monolithic
+    4-order program at full production LUT sizes (constants.h:50-62)
+    faults the remote-TPU runtime; per-stage execution keeps each
+    compiled program small and survives it.  Numerically identical to
+    `precompute` up to fusion rounding."""
+    t_fn = jax.jit(compute_transmittance_lut, static_argnames=("dims",))
+    di_fn = jax.jit(compute_direct_irradiance_lut, static_argnames=("dims",))
+    ss_fn = jax.jit(compute_single_scattering_lut, static_argnames=("dims",))
+    sd_fn = jax.jit(compute_scattering_density_lut,
+                    static_argnames=("order", "dims"))
+    ii_fn = jax.jit(compute_indirect_irradiance_lut,
+                    static_argnames=("order", "dims"))
+    ms_fn = jax.jit(compute_multiple_scattering_lut,
+                    static_argnames=("dims",))
+
+    def done(*arrs):
+        for a in arrs:
+            jax.block_until_ready(a)
+
+    ttex = t_fn(params, dims=dims)
+    done(ttex)
+    direct_irr = di_fn(params, ttex, dims=dims)
+    done(direct_irr)
+    ray_tex, mie_tex = ss_fn(params, ttex, dims=dims)
+    done(ray_tex, mie_tex)
+    scattering_acc = ray_tex
+    irradiance_acc = jnp.zeros_like(direct_irr)
+    irr_prev = direct_irr
+    multi_tex = jnp.zeros_like(ray_tex)
+    inv_ray_phase = 1.0 / rayleigh_phase(
+        _scattering_texel_nu(params, dims))[..., None]
+    for order in range(2, num_scattering_orders + 1):
+        density = sd_fn(params, ttex, ray_tex, mie_tex, multi_tex,
+                        irr_prev, order=order, dims=dims)
+        done(density)
+        indirect = ii_fn(params, ray_tex, mie_tex, multi_tex,
+                         order=order - 1, dims=dims)
+        done(indirect)
+        multi_tex = ms_fn(params, ttex, density, dims=dims)
+        done(multi_tex)
+        del density
+        scattering_acc = scattering_acc + multi_tex * inv_ray_phase
+        irradiance_acc = irradiance_acc + indirect
+        irr_prev = indirect
+    return AtmosphereLUTs(transmittance=ttex, scattering=scattering_acc,
+                          single_mie=mie_tex, irradiance=irradiance_acc)
+
+
+def precompute_luminance(dims: LutDims = LutDims(),
+                         num_scattering_orders: int = 4,
+                         num_wavelengths: int = 15,
+                         use_ozone=True, use_constant_solar=False
+                         ) -> AtmosphereLUTs:
+    """PRECOMPUTED-luminance pipeline (atmosphere.cpp:828-872 and
+    1230-1275): run the radiance precompute in 3-wavelength batches
+    covering [360, 830] nm and accumulate each batch's textures through
+    its 3x3 `luminance_from_radiance` matrix (rows = sRGB responses of
+    the batch wavelengths x dlambda).  The resulting textures hold
+    illuminance / MAX_LUMINOUS_EFFICACY; the runtime multiplies by
+    sky_k = 683.  The transmittance texture is recomputed at the RGB
+    wavelengths at the end (atmosphere.cpp:866-871)."""
+    n_iter = (num_wavelengths + 2) // 3
+    dlambda = (LAMBDA_MAX - LAMBDA_MIN) / (3.0 * n_iter)
+    jit_pre = jax.jit(precompute,
+                      static_argnames=("dims", "num_scattering_orders"))
+    acc = None
+    for i in range(n_iter):
+        lams = np.array([LAMBDA_MIN + (3 * i + 0.5) * dlambda,
+                         LAMBDA_MIN + (3 * i + 1.5) * dlambda,
+                         LAMBDA_MIN + (3 * i + 2.5) * dlambda])
+        # rows r = sRGB component, cols c = batch wavelength
+        lfr = jnp.asarray(srgb_coeff(lams).T * dlambda, jnp.float32)
+        p_i = model_at_lambdas(lams, use_ozone=use_ozone,
+                               use_constant_solar=use_constant_solar)
+        luts_i = jit_pre(p_i, dims=dims,
+                         num_scattering_orders=num_scattering_orders)
+
+        def blend(tex):
+            return jnp.einsum("...c,rc->...r", tex, lfr)
+
+        batch = AtmosphereLUTs(
+            transmittance=luts_i.transmittance,  # replaced below
+            scattering=blend(luts_i.scattering),
+            single_mie=blend(luts_i.single_mie),
+            irradiance=blend(luts_i.irradiance))
+        if acc is None:
+            acc = batch
+        else:
+            acc = AtmosphereLUTs(
+                transmittance=batch.transmittance,
+                scattering=acc.scattering + batch.scattering,
+                single_mie=acc.single_mie + batch.single_mie,
+                irradiance=acc.irradiance + batch.irradiance)
+    rgb_params = default_model(use_ozone=use_ozone,
+                               use_constant_solar=use_constant_solar)
+    ttex = jax.jit(compute_transmittance_lut, static_argnames=("dims",))(
+        rgb_params, dims)
+    return AtmosphereLUTs(transmittance=ttex, scattering=acc.scattering,
+                          single_mie=acc.single_mie,
+                          irradiance=acc.irradiance)
 
 
 # ---------------------------------------------------------------------------

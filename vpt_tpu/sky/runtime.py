@@ -34,16 +34,34 @@ jax.tree_util.register_dataclass(Atmosphere, data_fields=["params", "luts"],
 
 def make_atmosphere(dims: br.LutDims = br.LutDims(), cache_path=None,
                     use_ozone=True, use_constant_solar=False,
-                    exposure=10.0) -> Atmosphere:
+                    exposure=10.0, luminance_mode: str = "none",
+                    do_white_balance: bool = False,
+                    num_wavelengths: int = 15) -> Atmosphere:
     """Precompute (or load cached) LUTs — atmosphere::init()
     (atmosphere.cpp:1177-1291) with the npz cache standing in for the
-    EXR texture cache."""
+    EXR texture cache.
+
+    luminance_mode: "none" | "approximate" | "precomputed" (the
+    reference's LUMINANCE enum): "approximate" keeps RGB-radiance LUTs
+    and multiplies by the spectral k constants at runtime;
+    "precomputed" runs `num_wavelengths` wavelengths in 3-λ batches
+    blended through luminance_from_radiance (atmosphere.cpp:828-872).
+    """
     import os
+    use_lum = {"none": 0, "approximate": 1, "precomputed": 2}[luminance_mode]
     params = br.default_model(use_ozone=use_ozone,
                               use_constant_solar=use_constant_solar,
-                              exposure=exposure)
+                              exposure=exposure, use_luminance=use_lum,
+                              do_white_balance=do_white_balance)
     if cache_path and os.path.exists(cache_path):
         luts = br.load_luts(cache_path)
+    elif use_lum == 2:
+        luts = br.precompute_luminance(
+            dims=dims, num_wavelengths=num_wavelengths, use_ozone=use_ozone,
+            use_constant_solar=use_constant_solar)
+        jax.block_until_ready(luts.transmittance)
+        if cache_path:
+            br.save_luts(cache_path, luts)
     else:
         luts = jax.jit(br.precompute,
                       static_argnames=("dims", "num_scattering_orders"))(
@@ -74,24 +92,31 @@ def sample_atmosphere(atm: Atmosphere, ray_pos, ray_dir, azimuth, elevation,
     dist = -p_dot_v - jnp.sqrt(jnp.maximum(disc, 0.0))
     hits_ground = (dist > 0.0) & (disc >= 0.0)
 
+    # radiance -> luminance constants (render_kernel.cu:745, 821-833):
+    # identity in NONE mode, the k factors in APPROXIMATE/PRECOMPUTED
+    lum = p.use_luminance != 0
+    sky_k = jnp.where(lum, p.sky_spectral_to_rgb, 1.0)
+    sun_k = jnp.where(lum, p.sun_spectral_to_rgb, 1.0)
+
     # ground shading
     gp = camera + view * dist[..., None]
     normal = normalize(gp)
     sun_irr, sky_irr = br.get_sun_and_sky_irradiance(
         p, atm.luts, gp, normal, sun_direction, dims)
     ground_radiance = (p.ground_albedo / jnp.pi
-                       * (sun_irr + sky_irr))
+                       * (sun_irr * sun_k + sky_irr * sky_k))
     in_scatter_g, trans_g = br.get_sky_radiance_to_point(
         p, atm.luts, camera, gp, sun_direction, dims)
-    ground_radiance = ground_radiance * trans_g + in_scatter_g
+    ground_radiance = ground_radiance * trans_g + in_scatter_g * sky_k
 
     # sky + sun disc
     radiance, trans = br.get_sky_radiance(p, atm.luts, camera, view,
                                           sun_direction, dims)
+    radiance = radiance * sky_k
     sun_cos = jnp.sum(view * sun_direction, axis=-1)
     sun_disc = sun_cos > jnp.cos(p.sun_angular_radius)
     radiance = radiance + jnp.where(
-        sun_disc[..., None], trans * br.get_solar_radiance(p), 0.0)
+        sun_disc[..., None], trans * br.get_solar_radiance(p) * sun_k, 0.0)
 
     out = jnp.where(hits_ground[..., None], ground_radiance, radiance)
     # reference exposure/white-point curve (render_kernel.cu:880-886)
