@@ -94,11 +94,14 @@ def main():
         return dt * 1000, mrays, trunc
 
     def blob(n=64, emission=False, color=False):
+        # compact turbulent puff (~1/3 of the box, like the reference's
+        # fireball/colored_smoke assets — a box-filling solid blob
+        # over-weights deep multiple scattering)
         z, y, x = np.mgrid[:n, :n, :n].astype(np.float32)
         r = np.sqrt((x - n / 2) ** 2 + (y - n / 2) ** 2 + (z - n / 2) ** 2)
-        base = np.clip(1.0 - r / (n / 2.2), 0.0, 1.0)
+        base = np.clip(1.0 - r / (n / 3.2), 0.0, 1.0)
         ang = np.sin(x * 0.4) * np.sin(y * 0.35) * np.sin(z * 0.3)
-        dens = np.clip(base * (0.6 + 0.8 * ang), 0.0, 1.0).astype(np.float32)
+        dens = np.clip(base * (0.5 + 0.8 * ang), 0.0, 1.0).astype(np.float32)
         em = (dens * 0.9).astype(np.float32) if emission else None
         col = None
         if color:

@@ -128,3 +128,32 @@ def test_exr_zip_roundtrip():
             out = read_exr(path)
         for c in chans:
             np.testing.assert_array_equal(out[c], chans[c], err_msg=comp)
+
+
+def test_no_module_level_tracer_leak():
+    """Module-level jnp constants become leaked tracers when their
+    module is first imported INSIDE a jit trace (lazy imports in
+    environment_radiance do exactly that).  Constants must be numpy.
+    Runs in a subprocess so the import genuinely happens mid-trace."""
+    import subprocess
+    import sys
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import jax.numpy as jnp\n"
+        "@jax.jit\n"
+        "def f(x):\n"
+        "    from vpt_tpu.sky.procedural import sample_sky\n"
+        "    return sample_sky(x, 150.0, 30.0, jnp.ones(3)).sum()\n"
+        "d = jnp.array([[0.0, 1.0, 0.0]])\n"
+        "float(f(d))\n"
+        "@jax.jit\n"
+        "def g(x):\n"
+        "    from vpt_tpu.sky.procedural import sample_sky\n"
+        "    return sample_sky(x, 150.0, 30.0, jnp.ones(3)).sum()\n"
+        "float(g(d))\n"
+        "print('LEAK_FREE')\n")
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=600,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert "LEAK_FREE" in out.stdout, out.stderr[-2000:]

@@ -110,6 +110,45 @@ def test_space_ray_sun_disc_transmittance(atm):
     np.testing.assert_allclose(np.asarray(t_ground), 0.0)
 
 
+def test_transmittance_texels_match_direct_integration(atm):
+    """Texel-level validation vs the reference FORMULA (SURVEY §7 hard
+    part 6): the LUT value at sampled (r, mu) points must equal
+    exp(-tau) with tau computed here by independent high-resolution
+    numerical integration of the three extinction profiles along the
+    ray to the top boundary (atmosphere_kernels.cu:67-101)."""
+    params, luts = atm
+
+    def direct_transmittance(r, mu, n=4096):
+        d_top = float(br.dist_to_top(params, jnp.float32(r),
+                                     jnp.float32(mu)))
+        t = (np.arange(n) + 0.5) / n * d_top
+        r_d = np.sqrt(t * t + 2.0 * r * mu * t + r * r)
+        alt = r_d - float(params.bottom_radius)
+        dens_r = np.exp(float(params.rayleigh_exp_scale) * alt)
+        dens_m = np.exp(float(params.mie_exp_scale) * alt)
+        dens_o = np.maximum(
+            0.0, 1.0 - np.abs(alt - float(params.ozone_center))
+            / float(params.ozone_width))
+        dx = d_top / n
+        tau = (np.asarray(params.rayleigh_scattering) * dens_r.sum() * dx
+               + np.asarray(params.mie_extinction) * dens_m.sum() * dx
+               + np.asarray(params.absorption_extinction)
+               * dens_o.sum() * dx)
+        return np.exp(-tau)
+
+    rb, rt = float(params.bottom_radius), float(params.top_radius)
+    for r, mu in [(rb + 500.0, 1.0), (rb + 500.0, 0.3),
+                  (rb + 30000.0, 0.7), ((rb + rt) / 2, 0.05)]:
+        lut_val = np.asarray(br.transmittance_to_top(
+            params, luts.transmittance, jnp.float32(r), jnp.float32(mu),
+            TINY))
+        ref_val = direct_transmittance(r, mu)
+        # LUT parameterization + 500-sample trapezoid vs 4096-sample
+        # midpoint: agree to a few percent everywhere but grazing
+        np.testing.assert_allclose(lut_val, ref_val, rtol=0.06,
+                                   atol=1e-4, err_msg=f"r={r} mu={mu}")
+
+
 def test_luminance_constants_match_bruneton():
     """The APPROXIMATE-mode k constants (atmosphere.cpp:184-214)
     reproduce the reference implementation's published values (computed

@@ -131,3 +131,27 @@ def test_instanced_render_matches_loop_render():
     assert np.isfinite(a).all()
     assert a.mean() > 0
     np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4)
+
+
+def test_drop_raw_density_renders_identically():
+    """keep_raw_density=False (memory flag for production volumes):
+    the corner table alone serves the engines bit-identically."""
+    from tests.test_scenarios import _blob_grid
+    grid = _blob_grid()
+    s1 = build_scene([grid])
+    s2 = build_scene([grid], keep_raw_density=False)
+    assert s2.atlas.density.shape[0] == 1  # placeholder only
+    c = (np.asarray(s1.root_pmin) + np.asarray(s1.root_pmax)) / 2
+    d = float(np.linalg.norm(np.asarray(s1.root_pmax)
+                             - np.asarray(s1.root_pmin)))
+    cam = Camera.make(c + np.array([0.0, 0.2 * d, 1.2 * d]), c, vfov=45.0,
+                      aspect=1.0)
+    s1 = dataclasses.replace(s1, camera=cam)
+    s2 = dataclasses.replace(s2, camera=cam)
+    params = RenderParams(width=16, height=16, ray_depth=3,
+                          max_track_steps=48, max_fused_steps=128,
+                          environment_type=int(Environment.CONSTANT))
+    from vpt_tpu.render.renderer import ProgressiveRenderer
+    a = np.asarray(ProgressiveRenderer(s1, params).render(2).accum)
+    b = np.asarray(ProgressiveRenderer(s2, params).render(2).accum)
+    np.testing.assert_array_equal(a, b)

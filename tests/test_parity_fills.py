@@ -117,3 +117,60 @@ def test_houdini_emitter_roundtrip():
     t = 2 * np.cross([x, y, z], v)
     rot = v + w * t + np.cross([x, y, z], t)
     np.testing.assert_allclose(rot, [1, 0, 0], atol=1e-9)
+
+
+def test_blue_noise_jitter():
+    """Blue-noise pixel jitter (BN0.bmp replacement): the asset has a
+    blue spectrum (low-frequency energy suppressed vs white noise), the
+    golden-ratio animation advances it per iteration
+    (render_kernel.cu:2320-2325), and low-spp renders are measurably
+    less blotchy (error has less low-frequency energy) than white."""
+    from vpt_tpu.render.renderer import _pixel_jitter
+    from vpt_tpu.scene.assets import load_blue_noise
+
+    bn = load_blue_noise()
+    assert bn.shape == (128, 128, 2)
+    n = bn.shape[0]
+    yy, xx = np.mgrid[:n, :n]
+    r = np.hypot(yy - n // 2, xx - n // 2)
+    rng = np.random.default_rng(0)
+    for c in range(2):
+        f = np.fft.fftshift(np.abs(np.fft.fft2(bn[:, :, c]
+                                               - bn[:, :, c].mean())))
+        w = rng.random((n, n))
+        fw = np.fft.fftshift(np.abs(np.fft.fft2(w - w.mean())))
+        low = f[(r < 8) & (r > 0)].mean()
+        low_w = fw[(r < 8) & (r > 0)].mean()
+        assert low < 0.2 * low_w, (low, low_w)  # strongly blue
+
+    p = RenderParams(jitter="bluenoise", width=64, height=64)
+    key = jax.random.PRNGKey(0)
+    j0 = np.asarray(_pixel_jitter(p, key, 64, 64, jnp.uint32(0)))
+    j1 = np.asarray(_pixel_jitter(p, key, 64, 64, jnp.uint32(1)))
+    phi = (1 + 5 ** 0.5) / 2
+    np.testing.assert_allclose(j1, np.mod(j0 + phi % 1.0, 1.0), atol=1e-5)
+
+    # low-spp error comparison on a soft blob edge
+    import dataclasses
+    from tests.test_scenarios import _blob_grid, _cam_for
+    from vpt_tpu.render.renderer import ProgressiveRenderer
+    from vpt_tpu.scene.scene import build_scene
+    from scipy import ndimage
+    scene = build_scene([_blob_grid()])
+    scene = dataclasses.replace(scene, camera=_cam_for(scene, 48, 48))
+    base = RenderParams(width=48, height=48, ray_depth=3,
+                        max_track_steps=48, max_fused_steps=128,
+                        environment_type=int(Environment.CONSTANT))
+    ref = np.asarray(ProgressiveRenderer(
+        scene, base.replace(seed=7)).render(64).alpha)
+    # 1 spp: jitter position dominates edge error; blue noise pushes
+    # that error to high frequencies (less blotchy after blurring).
+    # (At higher spp the reference's scalar golden-ratio advance walks
+    # both channels along a diagonal, diluting the 2-D advantage —
+    # a reference quirk we keep.)
+    a_w = np.asarray(ProgressiveRenderer(scene, base).render(1).alpha)
+    a_b = np.asarray(ProgressiveRenderer(
+        scene, base.replace(jitter="bluenoise")).render(1).alpha)
+    lf_w = np.linalg.norm(ndimage.gaussian_filter(a_w - ref, 2.0))
+    lf_b = np.linalg.norm(ndimage.gaussian_filter(a_b - ref, 2.0))
+    assert lf_b < lf_w, (lf_b, lf_w)

@@ -65,6 +65,16 @@ def build_parser():
                    help="also save raw radiance as EXR next to output")
     r.add_argument("--aov", choices=["none", "alpha", "cost", "depth"],
                    default="none", help="save an extra AOV image")
+    r.add_argument("--atmosphere", action="store_true",
+                   help="precompute/attach the full Bruneton atmosphere "
+                   "(otherwise env-type=atmosphere uses the simple sky)")
+    r.add_argument("--luminance", choices=["none", "approximate",
+                                           "precomputed"], default="none",
+                   help="Bruneton luminance mode (with --atmosphere)")
+    r.add_argument("--white-balance", action="store_true",
+                   help="CIE white balance (with --atmosphere)")
+    r.add_argument("--atmosphere-cache", default="out/atmosphere_luts.npz",
+                   help="npz LUT cache path (with --atmosphere)")
 
     v = sub.add_parser("view", help="interactive progressive viewer "
                        "(web page with live parameter controls)")
@@ -147,6 +157,20 @@ def cmd_render(args):
     env_type = dict(atmosphere=Environment.ATMOSPHERE, hdri=Environment.HDRI,
                     black=Environment.BLACK,
                     constant=Environment.CONSTANT)[env_name]
+
+    if args.atmosphere and env_name == "atmosphere":
+        import os as _os
+        from vpt_tpu.scene.scene import attach_atmosphere
+        from vpt_tpu.sky.runtime import make_atmosphere
+        _os.makedirs(_os.path.dirname(args.atmosphere_cache) or ".",
+                     exist_ok=True)
+        t1 = time.time()
+        atm = make_atmosphere(cache_path=args.atmosphere_cache,
+                              luminance_mode=args.luminance,
+                              do_white_balance=args.white_balance)
+        scene = attach_atmosphere(scene, atmosphere=atm)
+        log(f"atmosphere LUTs ready in {time.time()-t1:.1f}s "
+            f"(luminance={args.luminance})")
 
     params = RenderParams(
         width=args.width, height=args.height, ray_depth=args.ray_depth,

@@ -14,12 +14,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vpt_tpu.core.vecmath import (EPS, coordinate_system, lerp,
                                   spherical_direction, vec3)
 
-M_PI_4 = jnp.float32(jnp.pi / 4.0)          # reference constant (light.h:61)
-INV_4_PI = jnp.float32(1.0 / (4.0 * jnp.pi))
+M_PI_4 = np.float32(np.pi / 4.0)            # reference constant (light.h:61)
+INV_4_PI = np.float32(1.0 / (4.0 * np.pi))
 
 
 def henyey_greenstein(cos_theta, g, normalized: bool = False):

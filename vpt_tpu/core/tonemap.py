@@ -8,25 +8,26 @@ radiance images.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # render_kernel.cu:2295-2303 (rows act on column vec in the reference's
 # mat3*vec; we keep the same numbers and apply as matvec).
-ACES_INPUT = jnp.array(
+ACES_INPUT = np.array(
     [
         [0.59719, 0.35458, 0.04823],
         [0.07600, 0.90834, 0.01566],
         [0.02840, 0.13383, 0.83777],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
-ACES_OUTPUT = jnp.array(
+ACES_OUTPUT = np.array(
     [
         [1.60475, -0.53108, -0.07367],
         [-0.10208, 1.10813, -0.00605],
         [-0.00327, -0.07276, 1.07602],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 

@@ -19,8 +19,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-M_INF = jnp.float32(3.402823466e38)  # matches M_INF (FLT_MAX) helper_math.h:41
-EPS = jnp.float32(1e-3)  # matches EPS render_kernel.cu:84
+M_INF = np.float32(3.402823466e38)  # matches M_INF (FLT_MAX) helper_math.h:41
+EPS = np.float32(1e-3)  # matches EPS render_kernel.cu:84
 
 
 # ---------------------------------------------------------------------------

@@ -126,29 +126,57 @@ def sample_emission_index_masked(atlas: VolumeAtlas, grid_id, index_pos):
     """(value, valid): valid=False where the grid has no emission
     channel or the position is outside its box — those positions must
     contribute NOTHING, not LUT[0] (get_emission returns BLACK before
-    the LUT, render_kernel.cu:960)."""
+    the LUT, render_kernel.cu:960).
+
+    ONE corner-row gather (the EMIT walk fetches emission every
+    iteration; the 8-tap path made emissive scenes ~4x slower)."""
     dim = atlas.dim[grid_id]
     bmin = atlas.bmin[grid_id]
     offset = atlas.emission_offset[grid_id]
     has = offset >= 0
     npos = normalized_pos(index_pos, bmin, dim)
-    i0, i1, frac, inb = _tex_coords(npos, dim)
-    val = _gather_trilinear(atlas.emission, i0, i1, frac, dim,
-                            jnp.maximum(offset, 0))
+    i0, _i1, frac, inb = _tex_coords(npos, dim)
+    flat = _flat_index(i0[..., 0], i0[..., 1], i0[..., 2], dim,
+                       jnp.maximum(offset, 0))
+    (flat,) = jax.lax.optimization_barrier((flat,))
+    rows = jnp.take(atlas.emission_corners, flat, axis=0)  # (..., 8)
+    (rows,) = jax.lax.optimization_barrier((rows,))
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    wx = jnp.stack([1.0 - fx, fx], axis=-1)
+    wy = jnp.stack([1.0 - fy, fy], axis=-1)
+    wz = jnp.stack([1.0 - fz, fz], axis=-1)
+    w = jnp.stack([wx[..., c & 1] * wy[..., (c >> 1) & 1]
+                   * wz[..., (c >> 2) & 1] for c in range(8)], axis=-1)
+    val = jnp.sum(rows * w, axis=-1)
     valid = has & inb
     return jnp.where(valid, val, 0.0), valid
 
 
 def sample_color(atlas: VolumeAtlas, grid_id, index_pos):
     """Cd fetch; WHITE where the grid has no color channel
-    (render_kernel.cu:911), 0 outside the box (:922)."""
+    (render_kernel.cu:911), 0 outside the box (:922).
+
+    ONE 24-wide corner-row gather (8 corners x RGB) — the collision
+    shading fetches Cd every fused iteration when the channel exists."""
     dim = atlas.dim[grid_id]
     bmin = atlas.bmin[grid_id]
     offset = atlas.color_offset[grid_id]
     has = offset >= 0
     npos = normalized_pos(index_pos, bmin, dim)
-    i0, i1, frac, inb = _tex_coords(npos, dim)
-    val = _gather_trilinear(atlas.color, i0, i1, frac, dim,
-                            jnp.maximum(offset, 0))
+    i0, _i1, frac, inb = _tex_coords(npos, dim)
+    flat = _flat_index(i0[..., 0], i0[..., 1], i0[..., 2], dim,
+                       jnp.maximum(offset, 0))
+    (flat,) = jax.lax.optimization_barrier((flat,))
+    rows = jnp.take(atlas.color_corners, flat, axis=0)  # (..., 24)
+    (rows,) = jax.lax.optimization_barrier((rows,))
+    rows = rows.reshape(rows.shape[:-1] + (8, 3))
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    wx = jnp.stack([1.0 - fx, fx], axis=-1)
+    wy = jnp.stack([1.0 - fy, fy], axis=-1)
+    wz = jnp.stack([1.0 - fz, fz], axis=-1)
+    w = jnp.stack([wx[..., c & 1] * wy[..., (c >> 1) & 1]
+                   * wz[..., (c >> 2) & 1] for c in range(8)], axis=-1)
+    val = jnp.sum(rows * w[..., None], axis=-2)
     white = jnp.ones_like(val)
-    return jnp.where(has[..., None], jnp.where(inb[..., None], val, 0.0), white)
+    return jnp.where(has[..., None], jnp.where(inb[..., None], val, 0.0),
+                     white)

@@ -144,6 +144,7 @@ def build_scene(
     env_map: np.ndarray | None = None,
     majorant_resolution: int = 64,
     instance_list_threshold: int = 8,
+    keep_raw_density: bool = True,
 ) -> Scene:
     """Assemble a device Scene.
 
@@ -175,7 +176,7 @@ def build_scene(
     max_ext = max(host_grids[int(g)].max_density for g in instance_grid_ids)
     min_ext = min(host_grids[int(g)].min_density for g in instance_grid_ids)
 
-    atlas = build_atlas(host_grids)
+    atlas = build_atlas(host_grids, keep_raw_density=keep_raw_density)
     if emission_lut is None or density_color_lut is None:
         from vpt_tpu.scene.assets import (load_blackbody_lut,
                                           load_density_color_lut)

@@ -683,10 +683,14 @@ def _combined_scattering_for_density(p, ray_tex, mie_tex, multi_tex, r, mu,
 
 
 def compute_scattering_density_lut(p, ttex, ray_tex, mie_tex, multi_tex,
-                                   itex, order: int, dims: LutDims):
+                                   itex, order: int, dims: LutDims,
+                                   fz_values=None):
     """ComputeScatteringDensityTexture (atmosphere_kernels.cu:411-483,
     702-717): the in-scattered radiance J at each texel, integrating the
-    previous order over the sphere with ground-bounce."""
+    previous order over the sphere with ground-bounce.
+
+    ``fz_values``: optional (k,) depth-slice indices to compute only a
+    subset (host-driven chunking for the remote TPU runtime)."""
     fz = jnp.arange(dims.r, dtype=jnp.float32)
     fy = jnp.arange(dims.mu, dtype=jnp.float32)
     fx = jnp.arange(dims.scattering_w, dtype=jnp.float32)
@@ -746,12 +750,19 @@ def compute_scattering_density_lut(p, ttex, ray_tex, mie_tex, multi_tex,
                                                      nu2))[:, None])
         return jnp.sum(contrib * domega[:, None], axis=0)
 
-    # sequential over depth slices (lax.map) to bound peak memory —
-    # a full vmap materializes texels x sphere-samples intermediates
-    # that exceed HBM at production LUT sizes
-    slice_fn = jax.vmap(jax.vmap(texel, in_axes=(None, None, 0)),
-                        in_axes=(None, 0, None))
-    return jax.lax.map(lambda fz_: slice_fn(fz_, fy, fx), fz)
+    # doubly-sequential (lax.map over fz, then over fy rows): a full
+    # vmap materializes texels x sphere-samples intermediates that
+    # exceed HBM at production LUT sizes (and the remote TPU runtime
+    # kernel-faults on the full-size single program — precompute_chunked
+    # additionally splits fz slices into separate executions)
+    row_fn = jax.vmap(texel, in_axes=(None, None, 0))
+
+    def do_slice(fz_):
+        return jax.lax.map(lambda fy_: row_fn(fz_, fy_, fx), fy)
+
+    if fz_values is not None:
+        return jax.lax.map(do_slice, jnp.asarray(fz_values, jnp.float32))
+    return jax.lax.map(do_slice, fz)
 
 
 def compute_indirect_irradiance_lut(p, ray_tex, mie_tex, multi_tex,
@@ -786,7 +797,8 @@ def compute_indirect_irradiance_lut(p, ray_tex, mie_tex, multi_tex,
     return jax.vmap(lambda v: jax.vmap(lambda u: texel(u, v))(us))(vs)
 
 
-def compute_multiple_scattering_lut(p, ttex, density_tex, dims: LutDims):
+def compute_multiple_scattering_lut(p, ttex, density_tex, dims: LutDims,
+                                    fz_values=None):
     """ComputeMultipleScatteringTexture (atmosphere_kernels.cu:485-516):
     integrate the scattering density J along the ray."""
     fz = jnp.arange(dims.r, dtype=jnp.float32)
@@ -816,6 +828,9 @@ def compute_multiple_scattering_lut(p, ttex, density_tex, dims: LutDims):
     # that exceed HBM at production LUT sizes
     slice_fn = jax.vmap(jax.vmap(texel, in_axes=(None, None, 0)),
                         in_axes=(None, 0, None))
+    if fz_values is not None:
+        return jax.lax.map(lambda fz_: slice_fn(fz_, fy, fx),
+                           jnp.asarray(fz_values, jnp.float32))
     return jax.lax.map(lambda fz_: slice_fn(fz_, fy, fx), fz)
 
 
@@ -872,6 +887,10 @@ def precompute_chunked(params: AtmosphereParams, dims: LutDims = LutDims(),
     t_fn = jax.jit(compute_transmittance_lut, static_argnames=("dims",))
     di_fn = jax.jit(compute_direct_irradiance_lut, static_argnames=("dims",))
     ss_fn = jax.jit(compute_single_scattering_lut, static_argnames=("dims",))
+    # density + multiple scattering run ONE fz slice per device
+    # execution: the full-texture single program kernel-faults the
+    # remote runtime at production sizes (each slice fn is compiled
+    # once and reused — fz arrives as a traced (1,) array)
     sd_fn = jax.jit(compute_scattering_density_lut,
                     static_argnames=("order", "dims"))
     ii_fn = jax.jit(compute_indirect_irradiance_lut,
@@ -882,6 +901,15 @@ def precompute_chunked(params: AtmosphereParams, dims: LutDims = LutDims(),
     def done(*arrs):
         for a in arrs:
             jax.block_until_ready(a)
+
+    def by_slice(fn, *args, **kw):
+        slices = []
+        for z in range(dims.r):
+            fzv = jnp.asarray([float(z)], jnp.float32)
+            out = fn(*args, fz_values=fzv, **kw)
+            done(out)
+            slices.append(out)
+        return jnp.concatenate(slices, axis=0)
 
     ttex = t_fn(params, dims=dims)
     done(ttex)
@@ -896,14 +924,12 @@ def precompute_chunked(params: AtmosphereParams, dims: LutDims = LutDims(),
     inv_ray_phase = 1.0 / rayleigh_phase(
         _scattering_texel_nu(params, dims))[..., None]
     for order in range(2, num_scattering_orders + 1):
-        density = sd_fn(params, ttex, ray_tex, mie_tex, multi_tex,
-                        irr_prev, order=order, dims=dims)
-        done(density)
+        density = by_slice(sd_fn, params, ttex, ray_tex, mie_tex,
+                           multi_tex, irr_prev, order=order, dims=dims)
         indirect = ii_fn(params, ray_tex, mie_tex, multi_tex,
                          order=order - 1, dims=dims)
         done(indirect)
-        multi_tex = ms_fn(params, ttex, density, dims=dims)
-        done(multi_tex)
+        multi_tex = by_slice(ms_fn, params, ttex, density, dims=dims)
         del density
         scattering_acc = scattering_acc + multi_tex * inv_ray_phase
         irradiance_acc = irradiance_acc + indirect

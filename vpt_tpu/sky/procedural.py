@@ -11,6 +11,7 @@ ray march becomes two scans).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from vpt_tpu.core.vecmath import degree_to_cartesian, vec3
 
@@ -18,8 +19,11 @@ ATMOSPHERE_R = 6420e3
 EARTH_R = 6360e3
 HR = 7994.0
 HM = 1200.0
-BETA_R = jnp.array([3.8e-6, 13.5e-6, 33.1e-6], jnp.float32)
-BETA_M = jnp.array([21e-6, 21e-6, 21e-6], jnp.float32)
+# module constants are PLAIN NUMPY: this module is imported lazily,
+# sometimes while a jit trace is active — a module-level jnp op traced
+# at import time leaks a tracer into later traces (UnexpectedTracerError)
+BETA_R = np.array([3.8e-6, 13.5e-6, 33.1e-6], np.float32)
+BETA_M = np.array([21e-6, 21e-6, 21e-6], np.float32)
 N_SAMPLES = 16
 N_SAMPLES_LIGHT = 8
 MIE_G = 0.76

@@ -63,9 +63,16 @@ def make_atmosphere(dims: br.LutDims = br.LutDims(), cache_path=None,
         if cache_path:
             br.save_luts(cache_path, luts)
     else:
-        luts = jax.jit(br.precompute,
-                      static_argnames=("dims", "num_scattering_orders"))(
-            params, dims=dims)
+        # production-size LUTs kernel-fault the remote TPU runtime as a
+        # single program; the per-slice chunked driver survives it
+        big = dims.r * dims.mu * dims.scattering_w > 200_000
+        on_tpu = jax.devices()[0].platform != "cpu"
+        if big and on_tpu:
+            luts = br.precompute_chunked(params, dims=dims)
+        else:
+            luts = jax.jit(br.precompute,
+                          static_argnames=("dims", "num_scattering_orders"))(
+                params, dims=dims)
         jax.block_until_ready(luts.transmittance)
         if cache_path:
             br.save_luts(cache_path, luts)

@@ -40,6 +40,14 @@ class VolumeAtlas:
     # per-index, so gather COUNT dominates; 8x memory for 8x speed)
     density_corners: jax.Array  # (total_voxels, 10) f32 (see _corner_pack)
     emission: jax.Array       # (total_emission_voxels,) f32
+    # corner-packed emission (same rationale: the EMIT walk fetches
+    # emission EVERY iteration; 8-tap fetches made emissive scenes
+    # ~4x slower than density-only ones)
+    emission_corners: jax.Array  # (total_emission_voxels, 8) f32
+    # corner-packed color: 8 corners x RGB in one 24-wide row (the
+    # collision shading fetches Cd every fused iteration when the
+    # channel exists)
+    color_corners: jax.Array  # (total_color_voxels, 24) f32
     color: jax.Array          # (total_color_voxels, 3) f32
     # per-grid metadata, all (n_grids, ...)
     offset: jax.Array         # int32 into density
@@ -131,6 +139,22 @@ def load_vdb_grid(path: str, density_channel="density",
         read_vdb(path), density_channel, emission_channel, color_channel)
 
 
+def _corner_pack_plain(d_zyx: np.ndarray) -> np.ndarray:
+    """(nz,ny,nx) -> (nx*ny*nz, 8) rows: the 2x2x2 neighborhood of
+    voxel i (tap order corner = x + 2y + 4z, edge-clamped), WITHOUT the
+    acceleration channels — for secondary channels (emission)."""
+    nz, ny, nx = d_zyx.shape
+    out = np.empty((8, nz, ny, nx), np.float32)
+    for c in range(8):
+        dx, dy, dz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+        shifted = d_zyx[
+            np.minimum(np.arange(nz) + dz, nz - 1)][:,
+            np.minimum(np.arange(ny) + dy, ny - 1)][:, :,
+            np.minimum(np.arange(nx) + dx, nx - 1)]
+        out[c] = shifted
+    return np.ascontiguousarray(out.reshape(8, -1).T)
+
+
 def _corner_pack(d_zyx: np.ndarray) -> np.ndarray:
     """(nz,ny,nx) -> (nx*ny*nz, 10) rows: the 2x2x2 neighborhood of
     voxel i (tap order corner = x + 2y + 4z, edge-clamped to match
@@ -170,8 +194,15 @@ def _corner_pack(d_zyx: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(out.reshape(10, -1).T)
 
 
-def build_atlas(host_grids: list[HostGrid]) -> VolumeAtlas:
-    """Pack host grids into device atlases."""
+def build_atlas(host_grids: list[HostGrid],
+                keep_raw_density: bool = True) -> VolumeAtlas:
+    """Pack host grids into device atlases.
+
+    ``keep_raw_density=False`` drops the raw (V,) scalar copy — the
+    corner table alone serves the render engines; only the 8-tap
+    validation sampler (trilinear.sample_density_8tap) needs the raw
+    atlas.  Saves ~1/11 of the density memory footprint on
+    production-size volumes."""
     dens_parts, emis_parts, col_parts = [], [], []
     offs, eoffs, coffs = [], [], []
     dcur = ecur = ccur = 0
@@ -201,11 +232,31 @@ def build_atlas(host_grids: list[HostGrid]) -> VolumeAtlas:
     corner_parts = [_corner_pack(g.density_zyx) for g in host_grids]
     corners = (np.concatenate(corner_parts, axis=0) if corner_parts
                else np.zeros((1, 10), np.float32))
+    em_corner_parts = [_corner_pack_plain(np.asarray(g.emission_zyx,
+                                                     np.float32))
+                       for g in host_grids if g.emission_zyx is not None]
+    em_corners = (np.concatenate(em_corner_parts, axis=0)
+                  if em_corner_parts else np.zeros((1, 8), np.float32))
+    col_corner_parts = []
+    for g in host_grids:
+        if g.color_zyx is None:
+            continue
+        col = np.asarray(g.color_zyx, np.float32)
+        packed = np.stack([_corner_pack_plain(col[..., ch])
+                           for ch in range(3)], axis=-1)  # (V, 8, 3)
+        col_corner_parts.append(packed.reshape(-1, 24))
+    col_corners = (np.concatenate(col_corner_parts, axis=0)
+                   if col_corner_parts else np.zeros((1, 24), np.float32))
+
+    if not keep_raw_density:
+        dens_parts = []  # placeholder (sample_density_8tap unusable)
 
     return VolumeAtlas(
         density=jnp.asarray(_cat(dens_parts)),
         density_corners=jnp.asarray(corners),
         emission=jnp.asarray(_cat(emis_parts)),
+        emission_corners=jnp.asarray(em_corners),
+        color_corners=jnp.asarray(col_corners),
         color=jnp.asarray(_cat(col_parts, width=3)),
         offset=jnp.asarray(np.array(offs, np.int32)),
         emission_offset=jnp.asarray(np.array(eoffs, np.int32)),
