@@ -207,6 +207,8 @@ def main():
             xf[3, :3] = t
             ids.append(0)
             xforms.append(xf)
+        # R=64 measured best (finer grids shorten the chebyshev skip
+        # jumps — more loop iterations — without lowering K)
         scene = build_scene([cloud], instance_grid_ids=ids,
                             instance_xforms=xforms)
         assert scene.majorant.cell_instances is not None

@@ -174,3 +174,26 @@ def test_blue_noise_jitter():
     lf_w = np.linalg.norm(ndimage.gaussian_filter(a_w - ref, 2.0))
     lf_b = np.linalg.norm(ndimage.gaussian_filter(a_b - ref, 2.0))
     assert lf_b < lf_w, (lf_b, lf_w)
+
+
+def test_triangle_and_plane_intersect():
+    """Möller-Trumbore triangle + two-triangle plane (plane.h:46-133)."""
+    from vpt_tpu.scene.geometry import plane_intersect, triangle_intersect
+    v0, v1, v2 = [0, 0, 5], [2, 0, 5], [0, 2, 5]
+    pos = jnp.array([[0.5, 0.5, 0.0],   # inside -> hit at t=5
+                     [1.9, 1.9, 0.0],   # outside (u+v>1) -> miss
+                     [0.5, 0.5, 10.0]])  # behind -> miss
+    d = jnp.array([[0.0, 0.0, 1.0]] * 3)
+    hit, t = triangle_intersect(v0, v1, v2, pos, d)
+    np.testing.assert_array_equal(np.asarray(hit), [True, False, False])
+    np.testing.assert_allclose(float(t[0]), 5.0, rtol=1e-6)
+    # parallel ray -> no hit (det ~ 0)
+    hit_p, _ = triangle_intersect(v0, v1, v2,
+                                  jnp.array([[0.0, 0.0, 0.0]]),
+                                  jnp.array([[1.0, 0.0, 0.0]]))
+    assert not bool(hit_p[0])
+    # quad covers both triangle halves
+    q = ([0, 0, 5], [2, 0, 5], [2, 2, 5], [0, 2, 5])
+    hit_q, t_q = plane_intersect(*q, jnp.array([[1.9, 1.9, 0.0]]),
+                                 jnp.array([[0.0, 0.0, 1.0]]))
+    assert bool(hit_q[0]) and abs(float(t_q[0]) - 5.0) < 1e-5

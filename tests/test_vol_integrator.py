@@ -76,3 +76,41 @@ def test_env_cdf_sampler_distribution():
     in_band = np.abs(theta - target_theta) < 0.05
     ratio = pdf2[in_band] / np.maximum(np.asarray(pdf)[in_band], 1e-9)
     assert 0.3 < np.median(ratio) < 3.0
+
+
+def test_estimate_sky_mis_weights_constant_env(scene):
+    """Dedicated MIS-weight test (sky NEE, render_kernel.cu:1356-1443):
+    with a CONSTANT environment, no medium in the shadow path (empty
+    scene box region -> Tr = 1) and g = 0, both strategies are
+    deterministic, so the two-strategy power-heuristic combination has
+    a closed form:
+
+        p = phase pdf = pi/4 (the reference's HG constant, QUIRKS #1)
+        l = light pdf = 1/(4 pi) (uniform sphere)
+        Ld = Li * [ w_a * p / l + w_b ],   w_a = l^2/(l^2+p^2),
+                                           w_b = p^2/(l^2+p^2)
+
+    A wrong heuristic, swapped pdfs, or a missing weight all break
+    this equality."""
+    import jax
+    import jax.numpy as jnp
+
+    from vpt_tpu.render.nee import estimate_sky
+
+    params = RenderParams(
+        environment_type=int(Environment.CONSTANT),
+        max_track_steps=16).replace(sky_color=[2.0, 3.0, 4.0], sky_mult=1.0,
+                                    phase_g1=0.0)
+    # position far outside the volume box -> shadow Tr walks are misses
+    pos = jnp.asarray(np.asarray(scene.root_pmax) + 50.0)[None, :].repeat(
+        64, axis=0).astype(jnp.float32)
+    direction = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (64, 1))
+    ld = np.asarray(estimate_sky(scene, params, jax.random.PRNGKey(0),
+                                 pos, direction))
+    p = np.pi / 4.0
+    l = 1.0 / (4.0 * np.pi)
+    w_a = l * l / (l * l + p * p)
+    w_b = p * p / (l * l + p * p)
+    expect = np.array([2.0, 3.0, 4.0]) * (w_a * p / l + w_b)
+    np.testing.assert_allclose(ld.mean(axis=0), expect, rtol=1e-4)
+    np.testing.assert_allclose(ld.std(axis=0), 0.0, atol=1e-4)

@@ -49,7 +49,7 @@ def probe(params, key):
     keys = jax.random.split(ki, B // tile)
     for ti in range(B // tile):
         sl = slice(ti * tile, (ti + 1) * tile)
-        L, alpha, cost, unfin = fused_direct(scene, params, keys[ti],
+        L, alpha, cost, unfin, _d = fused_direct(scene, params, keys[ti],
                                              origin[sl], direction[sl])
         outs.append((unfin.sum(), cost.max(), cost.mean()))
     return outs

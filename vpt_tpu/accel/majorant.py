@@ -34,49 +34,63 @@ def _dilate_max(grid: np.ndarray, r: int) -> np.ndarray:
     return out
 
 
-def _build_cell_lists(pmins, pmaxs, root_pmin, root_pmax, R: int,
+def _build_cell_lists(inst_cells, n_instances: int, R: int,
                       pad_cells: int = 1, k_max: int = 600):
     """Per-cell overlapping-instance id lists, -1 padded to the max
     observed overlap (the flat equivalent of OCTNode.vol_indices[600],
     AABB.h:217-234; k_max mirrors the reference's 600 cap).
 
-    Conservative: an instance is listed in every cell its world AABB
-    (padded by `pad_cells` for trilinear spill) touches, so any point
-    with nonzero density from instance i has i in its cell's list.
+    ``inst_cells[i]``: flat indices of the cells instance i's NONZERO
+    voxels splat into.  Each set is dilated by `pad_cells` (L-inf) so
+    trilinear spill stays covered; occupancy-based lists give a much
+    smaller K than AABB rasterization for round volumes in boxy
+    bounds (the density sum per step does 2 gathers per K slot).
     """
-    n = len(pmins)
-    cell = (root_pmax - root_pmin) / R
-    lo = np.floor((pmins - root_pmin) / cell).astype(np.int64) - pad_cells
-    hi = np.floor((pmaxs - root_pmin) / cell).astype(np.int64) + pad_cells
-    lo = np.clip(lo, 0, R - 1)
-    hi = np.clip(hi, 0, R - 1)
+    # dilation offsets
+    r = pad_cells
+    offs = np.array([(dz * R + dy) * R + dx
+                     for dz in range(-r, r + 1)
+                     for dy in range(-r, r + 1)
+                     for dx in range(-r, r + 1)], np.int64)
+    # per-instance dilated cell sets (clip by recomputing coords)
+    dilated = []
+    for i in range(n_instances):
+        cells = inst_cells.get(i)
+        if cells is None or len(cells) == 0:
+            dilated.append(np.zeros(0, np.int64))
+            continue
+        cz, rem = np.divmod(cells, R * R)
+        cy, cx = np.divmod(rem, R)
+        dz, dy, dx = np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1),
+                                 np.arange(-r, r + 1), indexing="ij")
+        zz = np.clip(cz[:, None] + dz.reshape(-1)[None, :], 0, R - 1)
+        yy = np.clip(cy[:, None] + dy.reshape(-1)[None, :], 0, R - 1)
+        xx = np.clip(cx[:, None] + dx.reshape(-1)[None, :], 0, R - 1)
+        dilated.append(np.unique((zz * R + yy) * R + xx))
+    del offs
 
-    counts = np.zeros((R, R, R), np.int32)  # [z, y, x]
-    for i in range(n):
-        counts[lo[i, 2]:hi[i, 2] + 1, lo[i, 1]:hi[i, 1] + 1,
-               lo[i, 0]:hi[i, 0] + 1] += 1
+    counts = np.zeros(R * R * R, np.int32)
+    for cells in dilated:
+        counts[cells] += 1
     K = int(min(max(counts.max(), 1), k_max))
     if counts.max() > k_max:
         from vpt_tpu.utils.logger import VPT_WARNING, log
         log(f"cell instance overlap {counts.max()} exceeds cap {k_max}; "
             f"densities under-counted in hot cells", VPT_WARNING)
 
-    table = np.full((R, R, R, K), -1, np.int32)
-    fill = np.zeros((R, R, R), np.int32)
-    for i in range(n):
-        sl = (slice(lo[i, 2], hi[i, 2] + 1), slice(lo[i, 1], hi[i, 1] + 1),
-              slice(lo[i, 0], hi[i, 0] + 1))
-        f = fill[sl]
-        zz, yy, xx = np.nonzero(f < K)
-        view = table[sl]
-        view[zz, yy, xx, f[zz, yy, xx]] = i
-        fill[sl] = f + (f < K)
-    return table.reshape(R * R * R, K)
+    table = np.full((R * R * R, K), -1, np.int32)
+    fill = np.zeros(R * R * R, np.int32)
+    for i, cells in enumerate(dilated):
+        f = fill[cells]
+        ok = f < K
+        table[cells[ok], f[ok]] = i
+        fill[cells] = f + ok
+    return table
 
 
 def build_majorant_grid(host_grids, instance_grid_ids, xforms,
                         root_pmin, root_pmax, resolution: int,
-                        instance_bounds=None):
+                        build_instance_lists: bool = False):
     """Returns a MajorantGrid pytree (scene.py dataclass).
 
     Splat each instance's nonzero voxels into world-space cells
@@ -84,10 +98,10 @@ def build_majorant_grid(host_grids, instance_grid_ids, xforms,
     radius in cells so the per-cell value is a true majorant of the
     interpolated field.
 
-    ``instance_bounds``: optional (pmins, pmaxs) per-instance world
-    AABBs — when given, per-cell instance lists are built so the
-    density fetch visits only the cell's overlapping instances
-    (config-5 scale; render_kernel.cu:1003-1014).
+    ``build_instance_lists``: also build per-cell instance id lists
+    from each instance's OCCUPIED cells, so the density fetch visits
+    only the cell's overlapping instances (config-5 scale;
+    render_kernel.cu:1003-1014).
     """
     from vpt_tpu.scene.scene import MajorantGrid
 
@@ -99,7 +113,8 @@ def build_majorant_grid(host_grids, instance_grid_ids, xforms,
     grid_max = np.zeros((R, R, R), np.float32)  # [z, y, x]
 
     max_influence = 0.0
-    for gid, xf in zip(instance_grid_ids, xforms):
+    inst_cells: dict[int, np.ndarray] = {}
+    for inst_i, (gid, xf) in enumerate(zip(instance_grid_ids, xforms)):
         g = host_grids[int(gid)]
         d = g.density_zyx
         nz = np.nonzero(d > 0)
@@ -116,6 +131,30 @@ def build_majorant_grid(host_grids, instance_grid_ids, xforms,
         ci = np.clip(ci, 0, R - 1)
         flat = (ci[:, 2] * R + ci[:, 1]) * R + ci[:, 0]
         np.maximum.at(grid_max.reshape(-1), flat, vals)
+        if build_instance_lists:
+            if g.emission_zyx is not None or g.color_zyx is not None:
+                # emission/color contribute for ANY in-box position
+                # (get_emission maps in-box zero emission to LUT[0],
+                # render_kernel.cu:960-966) — list the instance in its
+                # whole box, not just density-occupied cells
+                bmin = np.asarray(g.bbox_min, np.float64)
+                corners = np.array(
+                    [[x, y, z] for x in (bmin[0], bmin[0] + g.dim[0])
+                     for y in (bmin[1], bmin[1] + g.dim[1])
+                     for z in (bmin[2], bmin[2] + g.dim[2])])
+                wc = corners @ xf[:3, :3] + xf[3, :3]
+                lo = np.clip(np.floor((wc.min(0) - root_pmin)
+                                      / cell).astype(np.int64), 0, R - 1)
+                hi = np.clip(np.floor((wc.max(0) - root_pmin)
+                                      / cell).astype(np.int64), 0, R - 1)
+                gz, gy, gx = np.meshgrid(
+                    np.arange(lo[2], hi[2] + 1),
+                    np.arange(lo[1], hi[1] + 1),
+                    np.arange(lo[0], hi[0] + 1), indexing="ij")
+                inst_cells[inst_i] = np.unique(
+                    (gz.ravel() * R + gy.ravel()) * R + gx.ravel())
+            else:
+                inst_cells[inst_i] = np.unique(flat)
         # trilinear influence reaches ±1 voxel in index space; its
         # world-space radius bounds the needed dilation
         voxel_world = np.linalg.norm(xf[:3, :3], axis=1).max()
@@ -137,11 +176,10 @@ def build_majorant_grid(host_grids, instance_grid_ids, xforms,
     packed = np.stack([grid_max.reshape(-1),
                        skip.reshape(-1).astype(np.float32)], axis=-1)
     cell_instances = None
-    if instance_bounds is not None:
-        pmins, pmaxs = instance_bounds
+    if build_instance_lists:
         cell_instances = jnp.asarray(_build_cell_lists(
-            np.asarray(pmins, np.float64), np.asarray(pmaxs, np.float64),
-            root_pmin, root_pmax, R, pad_cells=max(r_cells, 1)))
+            inst_cells, len(instance_grid_ids), R,
+            pad_cells=max(r_cells, 1)))
     return MajorantGrid(
         max_density=jnp.asarray(grid_max),
         occupied=jnp.asarray(occ),

@@ -63,8 +63,10 @@ def build_parser():
                    help="render over all devices (tile x spp mesh)")
     r.add_argument("--save-exr", action="store_true",
                    help="also save raw radiance as EXR next to output")
-    r.add_argument("--aov", choices=["none", "alpha", "cost", "depth"],
-                   default="none", help="save an extra AOV image")
+    r.add_argument("--aov",
+                   choices=["none", "alpha", "cost", "depth", "dof"],
+                   default="none", help="save an extra AOV image (dof = "
+                   "focus-band overlay, render_kernel.cu:2270-2274)")
     r.add_argument("--atmosphere", action="store_true",
                    help="precompute/attach the full Bruneton atmosphere "
                    "(otherwise env-type=atmosphere uses the simple sky)")
@@ -205,7 +207,17 @@ def cmd_render(args):
     from vpt_tpu.utils.io import save_image
     save_image(args.output, img, accum=np.asarray(film.accum)[::-1],
                save_exr=args.save_exr)
-    if args.aov != "none":
+    if args.aov == "dof":
+        import os as _os
+
+        from PIL import Image
+
+        from vpt_tpu.render.film import dof_overlay
+        viz = np.asarray(dof_overlay(film, scene.camera,
+                                     params.exposure_scale))[::-1]
+        stem = _os.path.splitext(args.output)[0]
+        Image.fromarray(viz).save(f"{stem}_dof.png")
+    elif args.aov != "none":
         aov = np.asarray(getattr(film, args.aov))[::-1]
         from vpt_tpu.utils.io import save_aov
         save_aov(args.output, args.aov, aov)

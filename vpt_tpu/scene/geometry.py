@@ -159,6 +159,34 @@ def geometry_list_shade(lst: SphereList, idx, ray_pos, ray_dir, t, key):
     return new_pos, new_dir, color, emit
 
 
+def triangle_intersect(v0, v1, v2, ray_pos, ray_dir, eps=1e-7):
+    """Möller-Trumbore, no backface culling (triangle::intersect,
+    plane.h:51-89).  Returns (hit, t) vectorized over rays."""
+    v0 = jnp.asarray(v0, jnp.float32)
+    e1 = jnp.asarray(v1, jnp.float32) - v0
+    e2 = jnp.asarray(v2, jnp.float32) - v0
+    P = jnp.cross(ray_dir, e2)
+    det = jnp.sum(e1 * P, axis=-1)
+    ok = jnp.abs(det) > eps
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    T = ray_pos - v0
+    u = jnp.sum(T * P, axis=-1) * inv
+    Q = jnp.cross(T, e1)
+    v = jnp.sum(ray_dir * Q, axis=-1) * inv
+    t = jnp.sum(e2 * Q, axis=-1) * inv
+    hit = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) \
+        & (t > eps)
+    return hit, jnp.where(hit, t, 3.4e38)
+
+
+def plane_intersect(p0, p1, p2, p3, ray_pos, ray_dir):
+    """Two-triangle quad (plane, plane.h:98-133: tris (p0,p1,p2) and
+    (p0,p3,p2)).  Returns (hit, t)."""
+    h1, t1 = triangle_intersect(p0, p1, p2, ray_pos, ray_dir)
+    h2, t2 = triangle_intersect(p0, p3, p2, ray_pos, ray_dir)
+    return h1 | h2, jnp.minimum(t1, t2)
+
+
 def sphere_intersect(sph: Sphere, ray_pos, ray_dir):
     """Quadratic intersect with the reference's t ordering rules
     (geometry.h:114-140): sorted roots; if t_min < 0 use t_max; miss if

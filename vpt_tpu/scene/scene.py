@@ -196,8 +196,7 @@ def build_scene(
         want_lists = len(instance_grid_ids) > instance_list_threshold
         majorant = build_majorant_grid(
             host_grids, instance_grid_ids, xforms, root_pmin, root_pmax,
-            majorant_resolution,
-            instance_bounds=(pmins, pmaxs) if want_lists else None)
+            majorant_resolution, build_instance_lists=want_lists)
 
     if camera is None:
         # default framing similar to main.cpp:1320-1334 (look at volume)

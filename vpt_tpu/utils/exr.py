@@ -63,9 +63,11 @@ def read_exr(path: str) -> dict[str, np.ndarray]:
     W = xmax - xmin + 1
     H = ymax - ymin + 1
     compression = attrs["compression"][1][0]
-    if compression not in (0, 2, 3):  # NONE, ZIPS, ZIP
+    if compression not in (0, 2, 3, 4):  # NONE, ZIPS, ZIP, PIZ
         raise NotImplementedError(f"EXR compression {compression}")
-    lines_per_block = {0: 1, 2: 1, 3: 16}[compression]
+    lines_per_block = {0: 1, 2: 1, 3: 16, 4: 32}[compression]
+    if compression == 4 and any(pt != PT_HALF for _, pt in channels):
+        raise NotImplementedError("PIZ with non-HALF channels")
 
     if tiled:
         raise NotImplementedError("tiled EXR unsupported")
@@ -80,6 +82,14 @@ def read_exr(path: str) -> dict[str, np.ndarray]:
         nlines = min(lines_per_block, ymax - y + 1)
         expect = sum(W * np.dtype(_PT_DTYPE[pt]).itemsize
                      for _, pt in channels) * nlines
+        if compression == 4 and len(raw) < expect:
+            from vpt_tpu.utils.piz import piz_decompress
+            planes = piz_decompress(raw, W, nlines, len(channels))
+            # (C, ny, nx) u16 -> scanline-interleaved half bytes
+            raw = np.ascontiguousarray(
+                planes.transpose(1, 0, 2)).tobytes()
+        elif compression == 4:
+            pass  # stored raw (compression didn't win)
         if compression in (2, 3):
             raw = zlib.decompress(raw)
             if len(raw) == expect:
