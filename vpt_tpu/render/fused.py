@@ -1,0 +1,355 @@
+"""The fused engine: the whole direct-integrator path trace as ONE
+lane-masked loop state machine.
+
+TPU rationale (docs/ARCHITECTURE.md): the reference nests unbounded
+stochastic loops (ray depth -> volume walk -> per-light shadow walks,
+render_kernel.cu:1760-1857) — on a SIMD machine each nested masked
+loop multiplies idle-lane waste, and every loop body pays its own
+serialized gathers.  Here every lane is in exactly one phase of the
+walk it is currently running:
+
+    SEEK   — classify the next segment (volume box / sphere / done)
+    MARCH  — primary delta tracking        (``sample``,   :1556-1681)
+    SHADOW — residual-ratio transmittance  (``Tr``,       :1138-1273)
+             for sun NEE, point-light NEE and sphere sun shading
+    EMIT   — rate-weighted emission walk   (:1275-1339)
+    DONE   — terminal (environment applied after the loop)
+
+and ONE iteration advances every lane one step of whatever walk it is
+in, with ONE unified corner-row gather serving density + local
+majorant + empty-space skip (ops/trilinear.py, tracking.unified_fetch).
+Secondary channels (emission / color / LUTs / light rows) are either
+corner-packed rows behind shape-derived static gates or one-hot MXU
+lookups — no additional serialized gather sites on density-only
+scenes.
+
+The estimator is IDENTICAL to render/integrator.py (same quirks #5/
+#6/#7/#19/#21); tests/test_fused.py checks statistical agreement.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vpt_tpu.core.phase import phase_eval, phase_sample
+from vpt_tpu.core.vecmath import (EPS, aabb_contains, aabb_intersect, cross,
+                                  degree_to_cartesian, length, normalize,
+                                  reflect, vec3)
+from vpt_tpu.render.tracking import (_sphere_block, density_color_lut,
+                                     scene_color, scene_emission,
+                                     unified_fetch, vec3_param)
+
+P_SEEK, P_MARCH, P_SHADOW, P_EMIT, P_DONE = 0, 1, 2, 3, 4
+AS_SUN, AS_PT, AS_SPHERE = 0, 1, 2
+
+
+def _march_init(scene, pos, direction):
+    """(dist, sphere_limited) for a primary walk starting at pos."""
+    _, _, t_box = aabb_intersect(scene.root_pmin, scene.root_pmax, pos,
+                                 direction)
+    t_box = jnp.maximum(t_box, 0.0)
+    sph_hit, t_sph = _sphere_block(scene, pos, direction)
+    lim = sph_hit & (t_sph < t_box)
+    return jnp.where(lim, t_sph, t_box), lim
+
+
+def _shadow_init(scene, params, start, w):
+    """Shadow-walk setup (Tr preamble, render_kernel.cu:1148-1167):
+    push outside starts to the box, sphere hit -> BLACK (QUIRKS #7),
+    premultiply the control-variate T_c.  Returns (spos, dist, tr0):
+    dist = 0 makes degenerate walks resolve on their first step."""
+    inside = aabb_contains(scene.root_pmin, scene.root_pmax, start)
+    hit, t_entry, _ = aabb_intersect(scene.root_pmin, scene.root_pmax,
+                                     start, w)
+    miss = ~inside & ~hit
+    spos = jnp.where((~inside & hit)[..., None],
+                     start + w * (t_entry + EPS)[..., None], start)
+    _, _, dist = aabb_intersect(scene.root_pmin, scene.root_pmax, spos, w)
+    dist = jnp.maximum(dist, 0.0)
+    sph_hit, _ = _sphere_block(scene, spos, w)
+    sigma_c = scene.min_extinction
+    tr0 = jnp.exp(-sigma_c * dist)
+    tr0 = jnp.where(miss, 1.0, jnp.where(sph_hit, 0.0, tr0))
+    dist = jnp.where(miss | sph_hit, 0.0, dist)
+    return spos, dist, tr0
+
+
+def fused_direct(scene, params, key, origin, direction):
+    """Trace one tile of rays.  Returns (L, alpha, cost, unfinished,
+    depth) — cost = loop iterations spent walking per ray, unfinished =
+    step-budget truncation flag (the bench's honesty audit)."""
+    B = origin.shape[0]
+    sigma_max = scene.max_extinction
+    sigma_c = scene.min_extinction
+    sigma_r = jnp.maximum(sigma_max - sigma_c, 1e-12)
+    inv_rate_march = 1.0 / jnp.maximum(sigma_max * params.density_mult,
+                                       1e-12)
+    rate_inv_shadow = params.tr_depth / sigma_r
+    ext = vec3_param(params.extinction)
+    rate_inv_emit = params.tr_depth / jnp.maximum(sigma_max * ext[0], 1e-12)
+    sun_dir = degree_to_cartesian(params.azimuth, params.elevation)
+    n_lights = scene.lights.count
+    n_pt_walks = min(n_lights, 11)  # QUIRKS #3 budget
+    if n_lights > 0:
+        light_rows = jnp.concatenate(
+            [scene.lights.pos, scene.lights.color,
+             scene.lights.power[:, None]], axis=1)  # (L, 7)
+
+    def sphere_event(kd, u, pos, dirn, beta, L):
+        """Sphere shading (render_kernel.cu:1807-1834) minus the sun Tr
+        walk (run by the SHADOW machinery).  Returns (anchor, sdir,
+        beta, contrib)."""
+        sph = scene.sphere
+        normal = normalize((pos - sph.center) / sph.radius)
+        facing = jnp.sum(normal * dirn, axis=-1) < 0.0
+        nl = jnp.where(facing[..., None], normal, -normal)
+        phi = 2.0 * jnp.pi * u[:, 2]
+        r2 = u[:, 3]
+        r2s = jnp.sqrt(r2)
+        w = normalize(nl)
+        pick = jnp.abs(w[..., 0]) > 0.1
+        ref_axis = jnp.where(pick[..., None], vec3(0.0, 1.0, 0.0),
+                             vec3(1.0, 0.0, 0.0))
+        uax = normalize(cross(ref_axis, w))
+        vax = cross(w, uax)
+        hemi = normalize(uax * (jnp.cos(phi) * r2s)[..., None]
+                         + vax * (jnp.sin(phi) * r2s)[..., None]
+                         + w * jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))[..., None])
+        mirror = reflect(dirn, nl)
+        new_dir = mirror + (hemi - mirror) * sph.roughness
+        anchor = pos + normal * EPS
+        beta = beta * sph.color
+        cos_l = jnp.maximum(jnp.sum(sun_dir * normal, axis=-1), 0.0)
+        contrib = (vec3_param(params.sun_color) * params.sun_mult
+                   * cos_l[..., None])
+        return anchor, new_dir, beta, contrib
+
+    def body(state):
+        (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr, contrib,
+         dist, t, skip, sphere_lim, phase, ascode, nshadow, depth_n,
+         depth_aov, cost, step) = state
+
+        kstep = jax.random.fold_in(key, step)
+        u = jax.random.uniform(kstep, (B, 4))
+
+        # ------------------------------------------------ SEEK -------
+        seeking = phase == P_SEEK
+        hit1, t1, _tmax1 = aabb_intersect(scene.root_pmin, scene.root_pmax,
+                                          pos, dirn)
+        hit2, t2 = _sphere_block(scene, pos, dirn)
+        obj = jnp.where(hit1 & (~hit2 | (t1 < t2)), 1,
+                        jnp.where(hit2, 2, 0))
+        budget_ok = depth_n < params.ray_depth
+        go_done = seeking & ((obj == 0) | ~budget_ok)
+        go_march = seeking & (obj == 1) & budget_ok
+        go_sphere = seeking & (obj == 2) & budget_ok
+
+        phase = jnp.where(go_done, P_DONE, phase)
+
+        # volume branch: advance to entry, start the primary walk
+        entry = pos + dirn * (t1 + EPS)[..., None]
+        m_dist, m_lim = _march_init(scene, entry, dirn)
+        pos = jnp.where(go_march[..., None], entry, pos)
+        dist = jnp.where(go_march, m_dist, dist)
+        sphere_lim = jnp.where(go_march, m_lim, sphere_lim)
+        t = jnp.where(go_march, 0.0, t)
+        skip = jnp.where(go_march, 0.0, skip)
+        phase = jnp.where(go_march, P_MARCH, phase)
+        depth_n = depth_n + go_march.astype(jnp.int32)
+
+        # sphere branch
+        sp_hit_pos = pos + dirn * t2[..., None]
+        s_anchor, s_dir, s_beta, s_contrib = sphere_event(
+            kstep, u, sp_hit_pos, dirn, beta, L)
+        depth_aov = jnp.where(go_sphere & (depth_aov == 0.0), t2, depth_aov)
+        anchor = jnp.where(go_sphere[..., None], s_anchor, anchor)
+        sdir = jnp.where(go_sphere[..., None], s_dir, sdir)
+        beta = jnp.where(go_sphere[..., None], s_beta, beta)
+        env_pos = jnp.where(go_sphere[..., None], s_anchor, env_pos)
+        contrib = jnp.where(go_sphere[..., None], s_contrib, contrib)
+        w_pos, w_dist, w_tr0 = _shadow_init(scene, params, s_anchor,
+                                            jnp.broadcast_to(sun_dir,
+                                                             pos.shape))
+        pos = jnp.where(go_sphere[..., None], w_pos, pos)
+        dirn = jnp.where(go_sphere[..., None],
+                         jnp.broadcast_to(sun_dir, pos.shape), dirn)
+        dist = jnp.where(go_sphere, w_dist, dist)
+        tr = jnp.where(go_sphere, w_tr0, tr)
+        t = jnp.where(go_sphere, 0.0, t)
+        skip = jnp.where(go_sphere, 0.0, skip)
+        ascode = jnp.where(go_sphere, AS_SPHERE, ascode)
+        phase = jnp.where(go_sphere, P_SHADOW, phase)
+        depth_n = depth_n + go_sphere.astype(jnp.int32)
+
+        # --------------------------------------------- WALK step -----
+        marching = phase == P_MARCH
+        shadowing = phase == P_SHADOW
+        emitting = phase == P_EMIT
+        walking = marching | shadowing | emitting
+
+        do_skip = walking & (skip > 0.0) & ~emitting
+        rate_inv = jnp.where(marching, inv_rate_march,
+                             jnp.where(shadowing, rate_inv_shadow,
+                                       rate_inv_emit))
+        dt = jnp.where(do_skip, skip, -jnp.log1p(-u[:, 0]) * rate_inv)
+        t_new = jnp.where(walking, t + dt, t)
+        exited = walking & (t_new >= dist)
+        cursor = pos + dirn * t_new[..., None]
+
+        density, skip_new = unified_fetch(scene, params, cursor, dirn)
+        skip = jnp.where(walking, jnp.where(exited, 0.0, skip_new), skip)
+        # only commit the advance for steps that stay inside the walk
+        t = jnp.where(walking & ~exited, t_new, t)
+
+        sampled = walking & ~do_skip & ~exited
+
+        # MARCH: alpha accumulation + collision test
+        m_sampled = sampled & marching
+        alpha = alpha + jnp.where(m_sampled, density, 0.0)
+        accept = m_sampled & (density / sigma_max > u[:, 1])
+
+        # SHADOW: residual ratio factor
+        s_sampled = sampled & shadowing
+        factor = 1.0 - (density - sigma_c) / sigma_r
+        tr = jnp.where(s_sampled, tr * factor, tr)
+        tr_dead = shadowing & (jnp.abs(tr) < EPS)
+
+        # EMIT: accumulate emission (unscaled by beta, QUIRKS #5/#21)
+        if scene.atlas.has_emission:
+            e_sampled = sampled & emitting
+            em = scene_emission(scene, cursor, params)
+            L = L + jnp.where(e_sampled[..., None], em, 0.0)
+
+        cost = cost + walking.astype(jnp.int32)
+
+        # ------------------------------------------ MARCH events -----
+        # collision: shade + scatter, then chain into the sun shadow walk
+        cd = scene_color(scene, cursor)
+        lut = density_color_lut(scene, params, density)
+        coll_val = (vec3_param(params.albedo) * cd * lut / ext
+                    * params.energy_inject)
+        beta = jnp.where(accept[..., None], beta * coll_val, beta)
+        hg_dir, _ = phase_sample(params, dirn, jax.random.fold_in(kstep, 7))
+        anchor = jnp.where(accept[..., None], cursor, anchor)
+        sdir = jnp.where(accept[..., None], hg_dir, sdir)
+        depth_aov = jnp.where(accept & (depth_aov == 0.0),
+                              length(cursor - origin), depth_aov)
+        nshadow = jnp.where(accept, n_pt_walks, nshadow)
+
+        w_pos, w_dist, w_tr0 = _shadow_init(
+            scene, params, anchor, jnp.broadcast_to(sun_dir, pos.shape))
+        cos_sun = jnp.sum(sdir * sun_dir, axis=-1)
+        sun_contrib = (vec3_param(params.sun_color) * params.sun_mult
+                       * phase_eval(params, cos_sun)[..., None])
+        pos = jnp.where(accept[..., None], w_pos, pos)
+        dirn = jnp.where(accept[..., None],
+                         jnp.broadcast_to(sun_dir, pos.shape), dirn)
+        dist = jnp.where(accept, w_dist, dist)
+        tr = jnp.where(accept, w_tr0, tr)
+        t = jnp.where(accept, 0.0, t)
+        skip = jnp.where(accept, 0.0, skip)
+        contrib = jnp.where(accept[..., None], sun_contrib, contrib)
+        ascode = jnp.where(accept, AS_SUN, ascode)
+        phase = jnp.where(accept, P_SHADOW, phase)
+
+        # primary walk exit without interaction -> re-seek (the
+        # reference's post-volume closest-object check + the QUIRKS #19
+        # teleport both fall out of re-entering SEEK from the cursor)
+        m_exit = exited & marching
+        pos = jnp.where(m_exit[..., None], pos + dirn * t[..., None], pos)
+        phase = jnp.where(m_exit, P_SEEK, phase)
+
+        # --------------------------------------- SHADOW walk end -----
+        s_end = shadowing & (exited | tr_dead) & ~accept
+        tr_fin = jnp.clip(tr, 0.0, 1.0)
+        L = L + jnp.where(s_end[..., None], contrib * tr_fin[..., None]
+                          * beta, 0.0)
+
+        start_pt = s_end & (nshadow > 0)
+        # decided BEFORE the decrement below: a lane either chains into
+        # the next point-light walk or finishes its shadow sequence
+        walks_done = s_end & ~start_pt
+        if n_lights > 0:
+            idx = jnp.minimum((u[:, 2] * n_lights).astype(jnp.int32),
+                              n_lights - 1)
+            oh = jax.nn.one_hot(idx, n_lights, dtype=jnp.float32)
+            lrow = oh @ light_rows  # (B, 7) one-hot MXU pick
+            lpos, lcol, lpow = lrow[:, 0:3], lrow[:, 3:6], lrow[:, 6]
+            wi = normalize(lpos - anchor)
+            cos_pt = jnp.sum(sdir * wi, axis=-1)
+            if params.reference_falloff:  # QUIRKS #2
+                sqr = length(lpos * lpos - anchor * anchor)
+            else:
+                sqr = jnp.sum((lpos - anchor) ** 2, axis=-1)
+            falloff = 1.0 / jnp.maximum(sqr, 1e-12)
+            pt_contrib = lcol * (lpow * phase_eval(params, cos_pt)
+                                 * falloff)[..., None]
+            w_pos, w_dist, w_tr0 = _shadow_init(scene, params, anchor, wi)
+            pos = jnp.where(start_pt[..., None], w_pos, pos)
+            dirn = jnp.where(start_pt[..., None], wi, dirn)
+            dist = jnp.where(start_pt, w_dist, dist)
+            tr = jnp.where(start_pt, w_tr0, tr)
+            t = jnp.where(start_pt, 0.0, t)
+            skip = jnp.where(start_pt, 0.0, skip)
+            contrib = jnp.where(start_pt[..., None], pt_contrib, contrib)
+            nshadow = jnp.where(start_pt, nshadow - 1, nshadow)
+            ascode = jnp.where(start_pt, AS_PT, ascode)
+
+        # all shadow walks done -> emission walk (if the scene has the
+        # channel) or resume the path from the collision point
+        resume_emit = walks_done & (ascode != AS_SPHERE)
+        resume_seek = walks_done & (ascode == AS_SPHERE)
+        if scene.atlas.has_emission:
+            _, _, e_dist = aabb_intersect(scene.root_pmin, scene.root_pmax,
+                                          anchor, sdir)
+            pos = jnp.where(resume_emit[..., None], anchor, pos)
+            dirn = jnp.where(resume_emit[..., None], sdir, dirn)
+            dist = jnp.where(resume_emit, jnp.maximum(e_dist, 0.0), dist)
+            t = jnp.where(resume_emit, 0.0, t)
+            skip = jnp.where(resume_emit, 0.0, skip)
+            phase = jnp.where(resume_emit, P_EMIT, phase)
+        else:
+            pos = jnp.where(resume_emit[..., None], anchor, pos)
+            dirn = jnp.where(resume_emit[..., None], sdir, dirn)
+            phase = jnp.where(resume_emit, P_SEEK, phase)
+        pos = jnp.where(resume_seek[..., None], anchor, pos)
+        dirn = jnp.where(resume_seek[..., None], sdir, dirn)
+        phase = jnp.where(resume_seek, P_SEEK, phase)
+
+        # ----------------------------------------- EMIT walk end -----
+        e_end = emitting & exited
+        pos = jnp.where(e_end[..., None], anchor, pos)
+        dirn = jnp.where(e_end[..., None], sdir, dirn)
+        phase = jnp.where(e_end, P_SEEK, phase)
+
+        return (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr,
+                contrib, dist, t, skip, sphere_lim, phase, ascode, nshadow,
+                depth_n, depth_aov, cost, step + 1)
+
+    zf = jnp.zeros(B, jnp.float32)
+    zi = jnp.zeros(B, jnp.int32)
+    state = (origin, direction, origin, direction, origin,
+             jnp.ones((B, 3), jnp.float32), jnp.zeros((B, 3), jnp.float32),
+             zf, jnp.ones(B, jnp.float32), jnp.zeros((B, 3), jnp.float32),
+             zf, zf, zf, jnp.zeros(B, bool), jnp.full(B, P_SEEK, jnp.int32),
+             zi, zi, zi, zf, zi, jnp.int32(0))
+
+    if params.fused_loop_mode == "fori":
+        state = jax.lax.fori_loop(0, params.max_fused_steps,
+                                  lambda i, s: body(s), state)
+    else:
+        def cond(s):
+            phase, step = s[14], s[20]
+            return (step < params.max_fused_steps) & jnp.any(phase != P_DONE)
+        state = jax.lax.while_loop(cond, body, state)
+
+    (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr, contrib, dist,
+     t, skip, sphere_lim, phase, ascode, nshadow, depth_n, depth_aov, cost,
+     _step) = state
+
+    from vpt_tpu.render.integrator import environment_radiance
+    L = L + environment_radiance(scene, params, env_pos, dirn) * beta
+    alpha = jnp.minimum(alpha, 1.0)
+    unfinished = (phase != P_DONE).astype(jnp.float32)
+    return L, alpha, cost.astype(jnp.float32), unfinished, depth_aov

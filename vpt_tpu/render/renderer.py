@@ -1,0 +1,208 @@
+"""Render orchestration: pixel jitter, ray generation, engine dispatch
+with ray tiling + cost-ordered scheduling, the jitted progressive step,
+and the ProgressiveRenderer host loop.
+
+This is the TPU-native analog of the reference's kernel entry + display
+loop (render_kernel.cu:2216-2326, main.cpp:1527-1860): one
+``render_step`` = one progressive sample per pixel.
+
+Tiling design (docs/ARCHITECTURE.md): the fused engine renders in
+``fused_tile``-ray tiles whose while-loop exits as soon as every lane
+in the tile is done.  At large resolutions most of the frame is cheap
+(empty sky), so rays are regrouped by a per-4096-ray-chunk cost proxy
+(primary-ray root-box hits) before tiling — cheap chunks share tiles
+that exit after a couple of iterations (~5x at 1080p, measured r2).
+The chunk permutation moves whole contiguous rows, so it costs two
+~500-index gathers, not per-ray ones.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vpt_tpu.core.rng import render_key
+from vpt_tpu.core.vecmath import aabb_intersect
+from vpt_tpu.render.film import Film, accumulate, to_display
+from vpt_tpu.render.params import Integrator, RenderParams
+
+_CHUNK = 4096  # rays per scheduling chunk (= one 64^2 pixel block)
+_GOLDEN_FRAC = float((1.0 + np.sqrt(5.0)) / 2.0) % 1.0
+
+
+def _pixel_jitter(params, key, height, width, iteration):
+    """Sub-pixel jitter (render_kernel.cu:2238-2247): threefry white
+    noise by default, or the generated blue-noise texture advanced by
+    the golden ratio per iteration (QUIRKS #12 — the same scalar is
+    added to both channels, as the reference does)."""
+    if params.jitter == "bluenoise":
+        from vpt_tpu.scene.assets import load_blue_noise
+        bn = jnp.asarray(load_blue_noise())  # (128, 128, 2)
+        n = bn.shape[0]
+        yy = jnp.arange(height) % n
+        xx = jnp.arange(width) % n
+        tiled = bn[yy][:, xx]
+        adv = jnp.mod(jnp.asarray(iteration, jnp.float32) * _GOLDEN_FRAC,
+                      1.0)
+        return jnp.mod(tiled + adv, 1.0)
+    return jax.random.uniform(key, (height, width, 2), jnp.float32)
+
+
+def _pad_to(x, size):
+    b = x.shape[0]
+    if b % size == 0:
+        return x, b
+    pad = size - b % size
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths, mode="edge"), b
+
+
+def _engine_fn(scene, params):
+    if params.integrator == int(Integrator.VOLUMETRIC):
+        from vpt_tpu.render.vol_integrator import vol_integrator
+
+        def run(key, o, d):
+            return vol_integrator(scene, params, key, o, d)
+        return run, params.fused_tile
+    if params.engine == "reference":
+        from vpt_tpu.render.integrator import direct_integrator
+
+        def run(key, o, d):
+            return direct_integrator(scene, params, key, o, d)
+        return run, params.fused_tile
+    if params.engine == "march":
+        from vpt_tpu.render.march import march_single_scatter
+
+        def run(key, o, d):
+            return march_single_scatter(scene, params, key, o, d)
+        return run, params.march_tile
+    from vpt_tpu.render.fused import fused_direct
+
+    def run(key, o, d):
+        L, alpha, cost, unfinished, depth = fused_direct(scene, params, key,
+                                                         o, d)
+        return L, alpha, dict(cost=cost, depth=depth, trunc=unfinished)
+    return run, params.fused_tile
+
+
+def trace_rays(scene, params, key, origin, direction):
+    """Trace a flat ray batch with the configured engine.
+
+    Returns (L (B,3), alpha (B,), aux dict of (B,) AOVs).
+    """
+    B = origin.shape[0]
+    run, tile = _engine_fn(scene, params)
+    tile = min(tile, max(B, 1))
+
+    use_blocks = (params.engine == "fused"
+                  and params.integrator == int(Integrator.DIRECT)
+                  and params.block_tiles > 0 and B > tile
+                  and tile % _CHUNK == 0)
+
+    origin_p, b_orig = _pad_to(origin, tile if not use_blocks else _CHUNK)
+    direction_p, _ = _pad_to(direction, tile if not use_blocks else _CHUNK)
+    # after chunk padding, also pad to a whole number of tiles
+    if origin_p.shape[0] % tile:
+        origin_p, _ = _pad_to(origin_p, tile)
+        direction_p, _ = _pad_to(direction_p, tile)
+    bp = origin_p.shape[0]
+
+    inv_perm = None
+    if use_blocks:
+        nc = bp // _CHUNK
+        hit, _, _ = aabb_intersect(scene.root_pmin, scene.root_pmax,
+                                   origin_p, direction_p)
+        chunk_cost = hit.reshape(nc, _CHUNK).sum(axis=1)
+        perm = jnp.argsort(chunk_cost)
+        inv_perm = jnp.argsort(perm)
+        origin_p = jnp.take(origin_p.reshape(nc, _CHUNK, 3), perm,
+                            axis=0).reshape(bp, 3)
+        direction_p = jnp.take(direction_p.reshape(nc, _CHUNK, 3), perm,
+                               axis=0).reshape(bp, 3)
+
+    outs = []
+    n_tiles = bp // tile
+    for ti in range(n_tiles):
+        sl = slice(ti * tile, (ti + 1) * tile)
+        kt = jax.random.fold_in(key, 1000 + ti)
+        L, alpha, aux = run(kt, origin_p[sl], direction_p[sl])
+        outs.append((L, alpha, aux))
+
+    L = jnp.concatenate([o[0] for o in outs], axis=0)
+    alpha = jnp.concatenate([o[1] for o in outs], axis=0)
+    aux_keys = outs[0][2].keys()
+    aux = {k: jnp.concatenate([o[2].get(k, jnp.zeros(tile)) for o in outs])
+           for k in aux_keys}
+
+    if inv_perm is not None:
+        nc = bp // _CHUNK
+        L = jnp.take(L.reshape(nc, _CHUNK, 3), inv_perm,
+                     axis=0).reshape(bp, 3)
+        alpha = jnp.take(alpha.reshape(nc, _CHUNK), inv_perm,
+                         axis=0).reshape(bp)
+        aux = {k: jnp.take(v.reshape(nc, _CHUNK), inv_perm,
+                           axis=0).reshape(bp) for k, v in aux.items()}
+    return L[:B], alpha[:B], {k: v[:B] for k, v in aux.items()}
+
+
+def render_rays(scene, params, key, iteration=0):
+    """One full-frame sample: jittered primary rays -> traced radiance.
+
+    Returns (value (H,W,3), alpha (H,W), aux dict of (H,W) AOVs).
+    """
+    H, W = params.height, params.width
+    jit_uv = _pixel_jitter(params, jax.random.fold_in(key, 17), H, W,
+                           iteration)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    u = ((xs + jit_uv[..., 0]) / W).reshape(-1)
+    v = ((ys + jit_uv[..., 1]) / H).reshape(-1)
+    kl, ki = jax.random.split(key)
+    origin, direction = scene.camera.get_rays(u, v, kl)
+    L, alpha, aux = trace_rays(scene, params, ki, origin, direction)
+    return (L.reshape(H, W, 3), alpha.reshape(H, W),
+            {k: val.reshape(H, W) for k, val in aux.items()})
+
+
+def _render_step(scene, params, film, iteration):
+    key = render_key(params.seed, iteration)
+    value, alpha, aux = render_rays(scene, params, key, iteration)
+    return accumulate(film, value, alpha, iteration, depth=aux["depth"],
+                      cost=aux["cost"])
+
+
+render_step = jax.jit(_render_step)
+
+
+class ProgressiveRenderer:
+    """Host-side progressive accumulation loop — the render side of the
+    reference's display loop (main.cpp:1823-1829): each ``step()`` adds
+    one sample per pixel; any param change + ``reset()`` restarts."""
+
+    def __init__(self, scene, params: RenderParams):
+        self.scene = scene
+        self.params = params
+        self.film = Film.zeros(params.height, params.width)
+        self.iteration = 0
+
+    def step(self, n: int = 1) -> Film:
+        for _ in range(n):
+            self.film = render_step(self.scene, self.params, self.film,
+                                    jnp.uint32(self.iteration))
+            self.iteration += 1
+        return self.film
+
+    def render(self, spp: int) -> Film:
+        self.step(spp)
+        jax.block_until_ready(self.film.accum)
+        return self.film
+
+    def reset(self):
+        self.film = Film.zeros(self.params.height, self.params.width)
+        self.iteration = 0
+
+    def display_image(self) -> np.ndarray:
+        return np.asarray(to_display(self.film, self.params.exposure_scale))
