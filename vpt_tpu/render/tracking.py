@@ -272,7 +272,8 @@ def _unified_fetch_single(scene, params, pos, direction):
 
     npos = (ipos - bmin) / dimf
     inb = jnp.all((npos >= 0.0) & (npos <= 1.0), axis=-1)
-    x = jnp.clip(npos * dimf - 0.5, 0.0, dimf - 1.0)
+    x_u = npos * dimf - 0.5  # unclipped voxel-center coordinate
+    x = jnp.clip(x_u, 0.0, dimf - 1.0)
     i0f = jnp.floor(x)
     frac = x - i0f
     i0 = i0f.astype(jnp.int32)
@@ -293,12 +294,14 @@ def _unified_fetch_single(scene, params, pos, direction):
     # units because the index position is parameterized by world t).
     skip_vox = rows[..., 9]
     r = jnp.maximum(skip_vox - 1.0, 0.0)
-    # index position of the sample (voxel-center space): x
+    # exit of the guaranteed-empty voxel cube, parameterized in
+    # UNCLIPPED voxel-center space (the clipped coordinate pins
+    # boundary-layer samples onto the cube face -> zero-length steps)
     cube_min = i0f - r[..., None]
     cube_max = i0f + 1.0 + r[..., None]
     safe_dir = jnp.where(jnp.abs(idir) < 1e-12, 1e-12, idir)
-    t1 = (cube_min - x) / safe_dir
-    t2 = (cube_max - x) / safe_dir
+    t1 = (cube_min - x_u) / safe_dir
+    t2 = (cube_max - x_u) / safe_dir
     t_exit = jnp.min(jnp.maximum(t1, t2), axis=-1)
     in_skip = inb & (skip_vox > 0.0)
 
