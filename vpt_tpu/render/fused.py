@@ -75,7 +75,8 @@ def _shadow_init(scene, params, start, w):
     return spos, dist, tr0
 
 
-def fused_direct(scene, params, key, origin, direction):
+def fused_direct(scene, params, key, origin, direction,
+                 return_state: bool = False):
     """Trace one tile of rays.  Returns (L, alpha, cost, unfinished,
     depth) — cost = loop iterations spent walking per ray, unfinished =
     step-budget truncation flag (the bench's honesty audit)."""
@@ -352,4 +353,7 @@ def fused_direct(scene, params, key, origin, direction):
     L = L + environment_radiance(scene, params, env_pos, dirn) * beta
     alpha = jnp.minimum(alpha, 1.0)
     unfinished = (phase != P_DONE).astype(jnp.float32)
+    if return_state:
+        return L, alpha, cost.astype(jnp.float32), unfinished, depth_aov, \
+            state
     return L, alpha, cost.astype(jnp.float32), unfinished, depth_aov

@@ -252,8 +252,10 @@ def unified_fetch(scene, params, pos, direction):
     from vpt_tpu.accel.majorant import empty_skip_t
     empty, t_exit = empty_skip_t(scene.majorant, scene.root_pmin,
                                  scene.root_pmax, pos, direction)
-    skip_dt = jnp.where(empty & (density <= 0.0),
-                        jnp.maximum(t_exit, 0.0) + 1e-3, 0.0)
+    # degenerate exits (boundary-pinned positions) fall back to an
+    # exponential step — a 1e-3 "jump" crawls for hundreds of steps
+    skip_dt = jnp.where(empty & (density <= 0.0) & (t_exit > 0.0),
+                        t_exit + 1e-3, 0.0)
     return density, skip_dt
 
 
@@ -319,8 +321,13 @@ def _unified_fetch_single(scene, params, pos, direction):
     misses_box = (t_leave < jnp.maximum(t_entry, 0.0)) | (t_leave <= 0.0)
     t_entry = jnp.where(misses_box, 1e30, jnp.maximum(t_entry, 0.0))
 
-    skip_dt = jnp.where(in_skip, jnp.maximum(t_exit, 0.0) + 1e-3,
-                        jnp.where(inb, 0.0, t_entry + 1e-3))
+    # degenerate jumps (exit/entry distance <= 0: the sample sits in a
+    # boundary band moving outward, or exactly on a face) fall back to
+    # a plain exponential step — zero-density samples there are null
+    # events, and a "+1e-3" jump would crawl for hundreds of steps
+    skip_in = jnp.where(t_exit > 0.0, t_exit + 1e-3, 0.0)
+    skip_out = jnp.where(t_entry > 0.0, t_entry + 1e-3, 0.0)
+    skip_dt = jnp.where(in_skip, skip_in, jnp.where(inb, 0.0, skip_out))
     return density, skip_dt
 
 
