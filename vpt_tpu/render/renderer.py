@@ -88,8 +88,14 @@ def _engine_fn(scene, params):
     return run, params.fused_tile
 
 
-def trace_rays(scene, params, key, origin, direction):
+def trace_rays(scene, params, key, origin, direction, cost_hint=None):
     """Trace a flat ray batch with the configured engine.
+
+    ``cost_hint``: optional (B,) expected per-ray cost (e.g. the film's
+    accumulated cost AOV) — per-pixel tracking cost is stable across
+    iterations, so grouping rays by it lets cheap tiles exit their
+    while-loop after a few steps instead of running to the global max.
+    Without a hint, the primary-ray root-box hit is the proxy.
 
     Returns (L (B,3), alpha (B,), aux dict of (B,) AOVs).
     """
@@ -113,9 +119,16 @@ def trace_rays(scene, params, key, origin, direction):
     inv_perm = None
     if use_blocks:
         nc = bp // _CHUNK
-        hit, _, _ = aabb_intersect(scene.root_pmin, scene.root_pmax,
-                                   origin_p, direction_p)
-        chunk_cost = hit.reshape(nc, _CHUNK).sum(axis=1)
+        if cost_hint is not None:
+            hint_p, _ = _pad_to(cost_hint, _CHUNK)
+            if hint_p.shape[0] % tile:
+                hint_p, _ = _pad_to(hint_p, tile)
+            chunk_cost = hint_p.reshape(nc, _CHUNK).max(axis=1)
+        else:
+            hit, _, _ = aabb_intersect(scene.root_pmin, scene.root_pmax,
+                                       origin_p, direction_p)
+            chunk_cost = hit.reshape(nc, _CHUNK).sum(axis=1).astype(
+                jnp.float32)
         perm = jnp.argsort(chunk_cost)
         inv_perm = jnp.argsort(perm)
         origin_p = jnp.take(origin_p.reshape(nc, _CHUNK, 3), perm,
@@ -148,7 +161,7 @@ def trace_rays(scene, params, key, origin, direction):
     return L[:B], alpha[:B], {k: v[:B] for k, v in aux.items()}
 
 
-def render_rays(scene, params, key, iteration=0):
+def render_rays(scene, params, key, iteration=0, cost_hint=None):
     """One full-frame sample: jittered primary rays -> traced radiance.
 
     Returns (value (H,W,3), alpha (H,W), aux dict of (H,W) AOVs).
@@ -162,14 +175,20 @@ def render_rays(scene, params, key, iteration=0):
     v = ((ys + jit_uv[..., 1]) / H).reshape(-1)
     kl, ki = jax.random.split(key)
     origin, direction = scene.camera.get_rays(u, v, kl)
-    L, alpha, aux = trace_rays(scene, params, ki, origin, direction)
+    if cost_hint is not None:
+        cost_hint = cost_hint.reshape(-1)
+    L, alpha, aux = trace_rays(scene, params, ki, origin, direction,
+                               cost_hint=cost_hint)
     return (L.reshape(H, W, 3), alpha.reshape(H, W),
             {k: val.reshape(H, W) for k, val in aux.items()})
 
 
 def _render_step(scene, params, film, iteration):
     key = render_key(params.seed, iteration)
-    value, alpha, aux = render_rays(scene, params, key, iteration)
+    # the film's accumulated cost AOV schedules this iteration's tiles
+    # (all-zero on iteration 0 -> identity order)
+    value, alpha, aux = render_rays(scene, params, key, iteration,
+                                    cost_hint=film.cost)
     return accumulate(film, value, alpha, iteration, depth=aux["depth"],
                       cost=aux["cost"])
 
