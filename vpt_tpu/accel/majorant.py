@@ -173,8 +173,12 @@ def build_majorant_grid(host_grids, instance_grid_ids, xforms,
     skip = ndimage.distance_transform_cdt(
         ~occ, metric="chessboard").astype(np.int32)
 
-    packed = np.stack([grid_max.reshape(-1),
-                       skip.reshape(-1).astype(np.float32)], axis=-1)
+    # guaranteed-empty BOX extents (see grid._empty_box_extents): rays
+    # grazing occupancy crawl the chebyshev cubes but fly whole slabs
+    from vpt_tpu.volume.grid import _empty_box_extents
+    ext = _empty_box_extents(occ)  # (6, R, R, R), -1 on occupied
+    packed = np.concatenate([grid_max.reshape(-1, 1),
+                             ext.reshape(6, -1).T], axis=-1)
     cell_instances = None
     if build_instance_lists:
         cell_instances = jnp.asarray(_build_cell_lists(
@@ -210,9 +214,9 @@ def local_majorant_query(major, root_pmin, root_pmax, pos, direction):
 
     Returns (sigma_cell, dt_exit):
       sigma_cell — density majorant of the current cell (0 if empty);
-      dt_exit    — distance to exit the cube of cells guaranteed to
+      dt_exit    — distance to exit the region of cells guaranteed to
                    share that bound: the single cell when occupied, the
-                   chebyshev empty cube when skip_dist > 0.
+                   guaranteed-empty box otherwise.
 
     This powers local-majorant delta tracking: steps are drawn at the
     *cell* majorant and clamped to dt_exit (boundary crossings are
@@ -229,11 +233,11 @@ def local_majorant_query(major, root_pmin, root_pmax, pos, direction):
     row = jnp.take(major.packed, flat, axis=0)  # one gather for both
     (row,) = jax.lax.optimization_barrier((row,))
     sigma_cell = row[..., 0]
-    d = row[..., 1]
-    r = jnp.maximum(d - 1.0, 0.0)
-    cube_min = root_pmin + (ci.astype(jnp.float32) - r[..., None]) * cs
-    cube_max = root_pmin + (ci.astype(jnp.float32) + 1.0
-                            + r[..., None]) * cs
+    # empty-box extents (-1 on occupied cells -> own cell after clamp)
+    ext_m = jnp.maximum(row[..., 1:4], 0.0)
+    ext_p = jnp.maximum(row[..., 4:7], 0.0)
+    cube_min = root_pmin + (ci.astype(jnp.float32) - ext_m) * cs
+    cube_max = root_pmin + (ci.astype(jnp.float32) + 1.0 + ext_p) * cs
     inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-12, 1e-12, direction)
     t1 = (cube_min - pos) * inv
     t2 = (cube_max - pos) * inv
@@ -245,9 +249,9 @@ def empty_skip_t(major, root_pmin, root_pmax, pos, direction):
     """Distance a ray may advance from `pos` while provably staying in
     empty space (0 if the current cell is occupied).
 
-    Uses the precomputed chebyshev distance field: with d =
-    skip_dist[cell] > 0, the cube of cells within L-inf radius d-1 of
-    the current cell is empty; return the exit distance of that cube.
+    Uses the precomputed guaranteed-empty box extents (packed cols
+    1:7, grid._empty_box_extents): return the exit distance of the
+    current cell's empty box.
     """
     R = major.occupied.shape[0]
     extent = root_pmax - root_pmin
@@ -258,12 +262,11 @@ def empty_skip_t(major, root_pmin, root_pmax, pos, direction):
     (flat,) = jax.lax.optimization_barrier((flat,))
     row = jnp.take(major.packed, flat, axis=0)
     (row,) = jax.lax.optimization_barrier((row,))
-    d = row[..., 1]
-    empty = d > 0
-    r = d - 1.0
-    cube_min = root_pmin + (ci.astype(jnp.float32) - r[..., None]) * cs
-    cube_max = root_pmin + (ci.astype(jnp.float32) + 1.0
-                            + r[..., None]) * cs
+    empty = row[..., 1] >= 0.0
+    ext_m = jnp.maximum(row[..., 1:4], 0.0)
+    ext_p = jnp.maximum(row[..., 4:7], 0.0)
+    cube_min = root_pmin + (ci.astype(jnp.float32) - ext_m) * cs
+    cube_max = root_pmin + (ci.astype(jnp.float32) + 1.0 + ext_p) * cs
     inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-12, 1e-12, direction)
     t1 = (cube_min - pos) * inv
     t2 = (cube_max - pos) * inv

@@ -1,0 +1,323 @@
+"""Precomputed light-transmittance (optical depth) fields.
+
+The reference estimates every NEE transmittance with a stochastic
+residual-ratio walk (``Tr``, render_kernel.cu:1138-1273) — up to
+1 (sun) + 11 (point lights) walks per medium event.  On a TPU each
+walk step costs one serialized row gather, and the walks dominate the
+per-tile step tail that sets wall-clock (docs/ARCHITECTURE.md).
+
+But transmittance through a *known* density field is deterministic:
+``Tr = exp(-tau)`` with ``tau = integral of sigma along the segment``.
+This module precomputes tau toward the sun (one directional sweep)
+and toward each point light (a spherical resample around the light)
+at every voxel node, and bakes the fields into the corner-packed
+density rows — so a medium event reads its shadow transmittances from
+the SAME row gather that produced the collision density: the whole
+NEE transmittance costs ZERO extra gathers and ZERO walk iterations.
+
+This is the volumetric analog of deep shadow maps (Lokovic & Veach
+2000) as used by production volume renderers.  The only deviation
+from the tracked estimator is deterministic quadrature+interpolation
+error (no statistical bias term — the tracked walks are unbiased
+estimators of the same exp(-tau)); tests/test_shadow.py bounds it.
+
+Enable with ``RenderParams.shadow_mode="cached"`` after calling
+``attach_shadow_cache`` (single-instance scenes; re-call when the sun
+direction or lights change — the bake is a sub-second host pass).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+# corner row layout: 8 density corners + majorant + 6 box extents
+BASE_COLS = 15
+MAX_CACHED_LIGHTS = 8
+
+
+def _trilinear_world(density_zyx, inv_xform, wpos):
+    """Sample the node field at world positions (numpy, zero outside).
+
+    inv_xform: row-vector world->index 4x4; wpos (..., 3).
+    Index convention matches ops/trilinear.py: node i is at index
+    position bmin + i + 0.5 — the caller pre-subtracts bmin+0.5 by
+    passing an adjusted inv_xform (see attach_shadow_cache).
+    """
+    ipos = wpos @ inv_xform[:3, :3] + inv_xform[3, :3]
+    return _trilinear_index(density_zyx, ipos)
+
+
+def _trilinear_index(density_zyx, ipos):
+    """Trilinear sample of the node field at fractional node coords
+    (node i at coordinate i); zero outside [0, n-1] support."""
+    nz, ny, nx = density_zyx.shape
+    x, y, z = ipos[..., 0], ipos[..., 1], ipos[..., 2]
+    inb = ((x > -1.0) & (x < nx) & (y > -1.0) & (y < ny)
+           & (z > -1.0) & (z < nz))
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    z0 = np.floor(z)
+    fx, fy, fz = x - x0, y - y0, z - z0
+    out = np.zeros(ipos.shape[:-1], np.float32)
+    for c in range(8):
+        dx, dy, dz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+        xi = (x0 + dx).astype(np.int64)
+        yi = (y0 + dy).astype(np.int64)
+        zi = (z0 + dz).astype(np.int64)
+        ok = ((xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny)
+              & (zi >= 0) & (zi < nz))
+        v = np.where(
+            ok, density_zyx[np.clip(zi, 0, nz - 1), np.clip(yi, 0, ny - 1),
+                            np.clip(xi, 0, nx - 1)], 0.0)
+        w = ((fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
+             * (fz if dz else 1.0 - fz))
+        out += v * w
+    return np.where(inb, out, 0.0).astype(np.float32)
+
+
+def directional_tau_nodes(density_zyx: np.ndarray, dir_idx: np.ndarray,
+                          world_per_idx: float,
+                          step_vox: float = 0.5) -> np.ndarray:
+    """tau(node) = integral of density from each node to the grid exit
+    along a constant direction (the sun).
+
+    dir_idx: direction in index space (A @ sun_dir for instance linear
+    inverse A); world_per_idx: world length of a unit index-space step
+    along dir_idx (= 1/|A @ sun_dir| for unit world sun_dir).
+
+    Midpoint quadrature with ``step_vox``-voxel steps; each step is a
+    CONSTANT-offset trilinear shift of the whole node field (pure
+    dense slicing — no per-node gathers), so the sweep is O(K) dense
+    passes, not O(V*K) samples.
+    """
+    nz, ny, nx = density_zyx.shape
+    u = dir_idx / max(np.linalg.norm(dir_idx), 1e-12)
+    h_idx = step_vox                       # index-space step length
+    h_world = h_idx * world_per_idx * np.linalg.norm(dir_idx) \
+        / max(np.linalg.norm(dir_idx), 1e-12)
+    h_world = h_idx * world_per_idx
+    diag = np.linalg.norm([nx, ny, nz])
+    K = int(np.ceil(diag / h_idx)) + 1
+    tau = np.zeros_like(density_zyx, np.float32)
+    base = np.stack(np.meshgrid(np.arange(nx), np.arange(ny),
+                                np.arange(nz), indexing="ij"),
+                    axis=-1).astype(np.float32)  # (nx,ny,nz,3) xyz
+    # evaluate with constant offsets: S(x + o) for all nodes x at once
+    for k in range(K):
+        o = (k + 0.5) * h_idx * u          # (3,) xyz offset
+        m = np.floor(o).astype(np.int64)
+        f = (o - m).astype(np.float32)
+        acc = np.zeros_like(tau)
+        for c in range(8):
+            dx, dy, dz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+            w = ((f[0] if dx else 1 - f[0]) * (f[1] if dy else 1 - f[1])
+                 * (f[2] if dz else 1 - f[2]))
+            if w == 0.0:
+                continue
+            sx, sy, sz = int(m[0] + dx), int(m[1] + dy), int(m[2] + dz)
+            acc += w * _shift3(density_zyx, sz, sy, sx)
+        tau += acc
+    return tau * np.float32(h_world)
+
+
+def _shift3(a, sz, sy, sx):
+    """a[z+sz, y+sy, x+sx] with zero fill (a is zyx)."""
+    nz, ny, nx = a.shape
+    out = np.zeros_like(a)
+    z0, z1 = max(0, -sz), min(nz, nz - sz)
+    y0, y1 = max(0, -sy), min(ny, ny - sy)
+    x0, x1 = max(0, -sx), min(nx, nx - sx)
+    if z0 >= z1 or y0 >= y1 or x0 >= x1:
+        return out
+    out[z0:z1, y0:y1, x0:x1] = a[z0 + sz:z1 + sz, y0 + sy:y1 + sy,
+                                 x0 + sx:x1 + sx]
+    return out
+
+
+def point_tau_nodes(density_zyx: np.ndarray, xform: np.ndarray,
+                    bbox_min: np.ndarray, light_world: np.ndarray,
+                    n_theta: int = 180, n_phi: int = 360,
+                    step_world: float | None = None) -> np.ndarray:
+    """tau(node) = integral of density from each node THROUGH the
+    point light to the grid exit (the reference's Tr walks run the
+    full segment to the scene box, not stopping at the light —
+    render_kernel.cu:1148-1167).
+
+    Strategy: resample density onto a spherical grid centred on the
+    light (one-time bulk sampling), radially cumsum to get
+    F(theta, phi, r) = tau from the light out to radius r, then
+    tau(node) = F(dir(node), r(node))            [node -> light]
+              + F(antipode(dir(node)), R_max)    [beyond the light].
+
+    xform: index->world row-vector 4x4 of the instance (node i at
+    index bmin + i + 0.5); bbox_min: grid index bbox min.
+    """
+    nz, ny, nx = density_zyx.shape
+    # world positions of the 8 grid corners bound the needed radius
+    corners_idx = np.array([[x, y, z]
+                            for x in (0, nx) for y in (0, ny)
+                            for z in (0, nz)], np.float64)
+    corners_idx += np.asarray(bbox_min, np.float64) - 0.5
+    corners_w = corners_idx @ xform[:3, :3] + xform[3, :3]
+    r_max = float(np.max(np.linalg.norm(corners_w - light_world, axis=-1)))
+    r_max = max(r_max, 1e-6)
+    if step_world is None:
+        # ~half-voxel steps in the smallest world voxel dimension
+        vox_w = np.linalg.norm(xform[:3, :3], axis=1)
+        step_world = 0.5 * float(vox_w.min())
+    n_r = max(int(np.ceil(r_max / step_world)), 2)
+
+    theta = (np.arange(n_theta) + 0.5) / n_theta * np.pi
+    phi = (np.arange(n_phi) + 0.5) / n_phi * (2 * np.pi)
+    rr = (np.arange(n_r) + 0.5) * step_world
+    st, ct = np.sin(theta), np.cos(theta)
+    sp, cp = np.sin(phi), np.cos(phi)
+    # directions (n_theta, n_phi, 3)
+    dirs = np.stack([st[:, None] * cp[None, :], st[:, None] * sp[None, :],
+                     np.broadcast_to(ct[:, None], (n_theta, n_phi))],
+                    axis=-1)
+    inv = np.linalg.inv(np.asarray(xform, np.float64))
+    # adjust for node coords: index = world @ inv - (bmin + 0.5)
+    shift = np.asarray(bbox_min, np.float64) + 0.5
+
+    # radial chunks keep the resample memory bounded
+    F = np.zeros((n_theta, n_phi, n_r + 1), np.float32)
+    chunk = max(1, int(2e7 // (n_theta * n_phi)))
+    acc = np.zeros((n_theta, n_phi), np.float32)
+    for r0 in range(0, n_r, chunk):
+        r1 = min(r0 + chunk, n_r)
+        pts = (light_world[None, None, None, :]
+               + dirs[:, :, None, :] * rr[None, None, r0:r1, None])
+        ipos = (pts.reshape(-1, 3) @ inv[:3, :3] + inv[3, :3]
+                - shift).reshape(n_theta, n_phi, r1 - r0, 3)
+        sig = _trilinear_index(density_zyx, ipos)
+        seg = np.cumsum(sig, axis=-1, dtype=np.float64) * step_world
+        F[:, :, r0 + 1:r1 + 1] = acc[..., None] + seg
+        acc = acc + seg[..., -1].astype(np.float32)
+    F_tot = F[:, :, -1]
+
+    # evaluate at every node
+    node_idx = np.stack(np.meshgrid(np.arange(nx), np.arange(ny),
+                                    np.arange(nz), indexing="ij"),
+                        axis=-1).astype(np.float64)
+    node_idx = np.moveaxis(node_idx, (0, 1, 2), (2, 1, 0))  # zyx order
+    node_idx += np.asarray(bbox_min, np.float64) + 0.5
+    node_w = node_idx @ xform[:3, :3] + xform[3, :3]
+    rel = node_w - light_world
+    r = np.linalg.norm(rel, axis=-1)
+    safe_r = np.maximum(r, 1e-12)
+    u = rel / safe_r[..., None]
+
+    tau_in = _sph_lerp(F, u, r / step_world)          # node -> light
+    tau_out = _sph_lerp_total(F_tot, -u)              # beyond the light
+    return (tau_in + tau_out).astype(np.float32)
+
+
+def _sph_angles(u):
+    th = np.arccos(np.clip(u[..., 2], -1.0, 1.0))
+    ph = np.arctan2(u[..., 1], u[..., 0]) % (2 * np.pi)
+    return th, ph
+
+
+def _sph_lerp(F, u, r_frac):
+    """Trilinear (theta, phi-wrapped, r) interpolation of F at
+    direction u / radius index r_frac (F has an implicit r=0 plane at
+    index 0)."""
+    n_theta, n_phi, n_r1 = F.shape
+    th, ph = _sph_angles(u)
+    ti = th / np.pi * n_theta - 0.5
+    pi_ = ph / (2 * np.pi) * n_phi - 0.5
+    ri = np.clip(r_frac, 0.0, n_r1 - 1.0)
+    t0 = np.clip(np.floor(ti), 0, n_theta - 1).astype(np.int64)
+    t1 = np.minimum(t0 + 1, n_theta - 1)
+    ft = np.clip(ti - t0, 0.0, 1.0)
+    p0 = np.floor(pi_).astype(np.int64) % n_phi
+    p1 = (p0 + 1) % n_phi
+    fp = np.clip(pi_ - np.floor(pi_), 0.0, 1.0)
+    r0 = np.floor(ri).astype(np.int64)
+    r1 = np.minimum(r0 + 1, n_r1 - 1)
+    fr = ri - r0
+    out = 0.0
+    for (tt, wt) in ((t0, 1 - ft), (t1, ft)):
+        for (pp, wp) in ((p0, 1 - fp), (p1, fp)):
+            for (rr_, wr) in ((r0, 1 - fr), (r1, fr)):
+                out = out + F[tt, pp, rr_] * (wt * wp * wr)
+    return out
+
+
+def _sph_lerp_total(F_tot, u):
+    n_theta, n_phi = F_tot.shape
+    th, ph = _sph_angles(u)
+    ti = th / np.pi * n_theta - 0.5
+    pi_ = ph / (2 * np.pi) * n_phi - 0.5
+    t0 = np.clip(np.floor(ti), 0, n_theta - 1).astype(np.int64)
+    t1 = np.minimum(t0 + 1, n_theta - 1)
+    ft = np.clip(ti - t0, 0.0, 1.0)
+    p0 = np.floor(pi_).astype(np.int64) % n_phi
+    p1 = (p0 + 1) % n_phi
+    fp = np.clip(pi_ - np.floor(pi_), 0.0, 1.0)
+    return (F_tot[t0, p0] * (1 - ft) * (1 - fp)
+            + F_tot[t1, p0] * ft * (1 - fp)
+            + F_tot[t0, p1] * (1 - ft) * fp
+            + F_tot[t1, p1] * ft * fp)
+
+
+def n_cached_lights(atlas) -> int:
+    """Static count of cached point-light tau channels (row width)."""
+    w = atlas.density_corners.shape[1]
+    if w <= BASE_COLS:
+        return -1  # no cache at all (not even sun)
+    return (w - BASE_COLS) // 8 - 1
+
+
+def attach_shadow_cache(scene, azimuth: float, elevation: float,
+                        step_vox: float = 0.5):
+    """Bake sun + point-light optical-depth fields into the corner
+    rows of a single-instance scene.  Returns a new Scene whose
+    ``atlas.density_corners`` is (V, 15 + 8*(1+L)); render with
+    ``RenderParams(shadow_mode="cached", azimuth=..., elevation=...)``
+    (the azimuth/elevation MUST match — the bake is directional).
+
+    Re-call after moving the sun or the lights (sub-second host pass).
+    """
+    from vpt_tpu.core.vecmath import degree_to_cartesian
+    from vpt_tpu.volume.grid import _corner_pack_plain
+
+    if scene.instances.count != 1:
+        raise ValueError("shadow cache v1 supports single-instance "
+                         "scenes (multi-instance scenes keep tracked "
+                         "shadow walks)")
+    n_lights = int(scene.lights.count)
+    if n_lights > MAX_CACHED_LIGHTS:
+        raise ValueError(f"shadow cache supports <= {MAX_CACHED_LIGHTS} "
+                         f"point lights (scene has {n_lights})")
+
+    atlas = scene.atlas
+    dim = np.asarray(atlas.dim)[0]          # nx, ny, nz
+    nx, ny, nz = int(dim[0]), int(dim[1]), int(dim[2])
+    dens = np.asarray(atlas.density[:nx * ny * nz]).reshape(nz, ny, nx)
+
+    xform = np.asarray(scene.instances.xform[0], np.float64)
+    inv = np.asarray(scene.instances.inv_xform[0], np.float64)
+    bmin = np.asarray(atlas.bmin)[0]
+
+    sun_dir = np.asarray(degree_to_cartesian(azimuth, elevation), np.float64)
+    dir_idx = sun_dir @ inv[:3, :3]
+    world_per_idx = 1.0 / max(np.linalg.norm(dir_idx), 1e-12)
+    tau_sun = directional_tau_nodes(dens, dir_idx, world_per_idx,
+                                    step_vox=step_vox)
+    channels = [_corner_pack_plain(tau_sun)]
+
+    lpos = np.asarray(scene.lights.pos, np.float64)
+    for i in range(n_lights):
+        tau_l = point_tau_nodes(dens, xform, bmin, lpos[i])
+        channels.append(_corner_pack_plain(tau_l))
+
+    base = np.asarray(atlas.density_corners)[:, :BASE_COLS]
+    rows = np.concatenate([base] + channels, axis=1).astype(np.float32)
+    new_atlas = dataclasses.replace(atlas,
+                                    density_corners=jnp.asarray(rows))
+    return dataclasses.replace(scene, atlas=new_atlas)

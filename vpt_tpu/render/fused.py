@@ -76,10 +76,14 @@ def _shadow_init(scene, params, start, w):
 
 
 def fused_direct(scene, params, key, origin, direction,
-                 return_state: bool = False):
+                 return_state: bool = False, phase_counts: bool = False):
     """Trace one tile of rays.  Returns (L, alpha, cost, unfinished,
     depth) — cost = loop iterations spent walking per ray, unfinished =
-    step-budget truncation flag (the bench's honesty audit)."""
+    step-budget truncation flag (the bench's honesty audit).
+
+    phase_counts=True additionally returns a (B, 3) int32 array of
+    per-ray steps spent in (MARCH, SHADOW, EMIT) — the diagnostic that
+    motivates the cached-shadow mode (see accel/shadow.py)."""
     B = origin.shape[0]
     sigma_max = scene.max_extinction
     sigma_c = scene.min_extinction
@@ -126,20 +130,27 @@ def fused_direct(scene, params, key, origin, direction,
                    * cos_l[..., None])
         return anchor, new_dir, beta, contrib
 
-    def body(state):
+    def seek_block(kstep, u, state21):
+        """The SEEK classification (pure math, no gathers): route
+        P_SEEK lanes into MARCH / sphere-SHADOW / DONE.  Called inside
+        the loop body AND once before the loop (pre-classifying the
+        camera segment saves one full-loop iteration per tile)."""
         (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr, contrib,
          dist, t, skip, sphere_lim, phase, ascode, nshadow, depth_n,
-         depth_aov, cost, step) = state
+         depth_aov, cost, step) = state21
 
-        kstep = jax.random.fold_in(key, step)
-        u = jax.random.uniform(kstep, (B, 4))
-
-        # ------------------------------------------------ SEEK -------
         seeking = phase == P_SEEK
         hit1, t1, _tmax1 = aabb_intersect(scene.root_pmin, scene.root_pmax,
                                           pos, dirn)
         hit2, t2 = _sphere_block(scene, pos, dirn)
-        obj = jnp.where(hit1 & (~hit2 | (t1 < t2)), 1,
+        entry = pos + dirn * (t1 + EPS)[..., None]
+        m_dist, m_lim = _march_init(scene, entry, dirn)
+        # a zero-length walk (box behind / seek-from-inside, where the
+        # tmin<0 -> tmax rule lands entry on the box EXIT — the QUIRKS
+        # #19 teleport) contributes nothing: classify past it instead
+        # of burning 3 iterations on a degenerate march
+        hit1_eff = hit1 & (m_dist > 0.0)
+        obj = jnp.where(hit1_eff & (~hit2 | (t1 < t2)), 1,
                         jnp.where(hit2, 2, 0))
         budget_ok = depth_n < params.ray_depth
         go_done = seeking & ((obj == 0) | ~budget_ok)
@@ -149,8 +160,6 @@ def fused_direct(scene, params, key, origin, direction,
         phase = jnp.where(go_done, P_DONE, phase)
 
         # volume branch: advance to entry, start the primary walk
-        entry = pos + dirn * (t1 + EPS)[..., None]
-        m_dist, m_lim = _march_init(scene, entry, dirn)
         pos = jnp.where(go_march[..., None], entry, pos)
         dist = jnp.where(go_march, m_dist, dist)
         sphere_lim = jnp.where(go_march, m_lim, sphere_lim)
@@ -182,6 +191,17 @@ def fused_direct(scene, params, key, origin, direction,
         ascode = jnp.where(go_sphere, AS_SPHERE, ascode)
         phase = jnp.where(go_sphere, P_SHADOW, phase)
         depth_n = depth_n + go_sphere.astype(jnp.int32)
+        return (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr,
+                contrib, dist, t, skip, sphere_lim, phase, ascode, nshadow,
+                depth_n, depth_aov, cost, step)
+
+    def body(state):
+        kstep = jax.random.fold_in(key, state[20])
+        u = jax.random.uniform(kstep, (B, 4))
+
+        (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr, contrib,
+         dist, t, skip, sphere_lim, phase, ascode, nshadow, depth_n,
+         depth_aov, cost, step) = seek_block(kstep, u, state[:21])
 
         # --------------------------------------------- WALK step -----
         marching = phase == P_MARCH
@@ -189,11 +209,16 @@ def fused_direct(scene, params, key, origin, direction,
         emitting = phase == P_EMIT
         walking = marching | shadowing | emitting
 
-        do_skip = walking & (skip > 0.0) & ~emitting
+        # free-flight merge: a pending guaranteed-empty jump is FUSED
+        # with the next exponential step — the empty stretch is all
+        # null events, so the free path conditioned on them is
+        # jump + Exp(rate).  One iteration instead of two.  EMIT keeps
+        # integrating everywhere (emission may live at zero density).
+        jump = jnp.where(walking & ~emitting, skip, 0.0)
         rate_inv = jnp.where(marching, inv_rate_march,
                              jnp.where(shadowing, rate_inv_shadow,
                                        rate_inv_emit))
-        dt = jnp.where(do_skip, skip, -jnp.log1p(-u[:, 0]) * rate_inv)
+        dt = jump - jnp.log1p(-u[:, 0]) * rate_inv
         t_new = jnp.where(walking, t + dt, t)
         exited = walking & (t_new >= dist)
         cursor = pos + dirn * t_new[..., None]
@@ -203,7 +228,18 @@ def fused_direct(scene, params, key, origin, direction,
         # only commit the advance for steps that stay inside the walk
         t = jnp.where(walking & ~exited, t_new, t)
 
-        sampled = walking & ~do_skip & ~exited
+        sampled = walking & ~exited
+        # exit folding: when the landing's empty box provably covers
+        # the rest of the walk, end it THIS iteration instead of
+        # discovering the exit with one more gather next iteration
+        covers = sampled & ~emitting & (skip_new > 0.0) \
+            & (t_new + skip_new >= dist)
+        if phase_counts:
+            pcnt = state[21] + jnp.stack(
+                [walking & (jump > 0.0) & ~exited, marching & sampled,
+                 marching & exited, shadowing, emitting,
+                 covers],
+                axis=-1).astype(jnp.int32)
 
         # MARCH: alpha accumulation + collision test
         m_sampled = sampled & marching
@@ -254,15 +290,20 @@ def fused_direct(scene, params, key, origin, direction,
         ascode = jnp.where(accept, AS_SUN, ascode)
         phase = jnp.where(accept, P_SHADOW, phase)
 
-        # primary walk exit without interaction -> re-seek (the
-        # reference's post-volume closest-object check + the QUIRKS #19
-        # teleport both fall out of re-entering SEEK from the cursor)
-        m_exit = exited & marching
-        pos = jnp.where(m_exit[..., None], pos + dirn * t[..., None], pos)
-        phase = jnp.where(m_exit, P_SEEK, phase)
+        # primary walk exit without interaction -> classify the
+        # continuation HERE (pure math): DONE unless the sphere lies
+        # ahead (the reference's post-volume closest-object check; the
+        # QUIRKS #19 teleport + box convexity mean the box itself is
+        # never re-entered) — saves the SEEK iteration per exit
+        m_exit = (exited | (covers & ~accept)) & marching
+        exit_pos = pos + dirn * t[..., None]
+        sph_ahead, _ = _sphere_block(scene, exit_pos, dirn)
+        pos = jnp.where(m_exit[..., None], exit_pos, pos)
+        phase = jnp.where(m_exit, jnp.where(sph_ahead, P_SEEK, P_DONE),
+                          phase)
 
         # --------------------------------------- SHADOW walk end -----
-        s_end = shadowing & (exited | tr_dead) & ~accept
+        s_end = shadowing & (exited | tr_dead | covers) & ~accept
         tr_fin = jnp.clip(tr, 0.0, 1.0)
         L = L + jnp.where(s_end[..., None], contrib * tr_fin[..., None]
                           * beta, 0.0)
@@ -298,9 +339,14 @@ def fused_direct(scene, params, key, origin, direction,
             ascode = jnp.where(start_pt, AS_PT, ascode)
 
         # all shadow walks done -> emission walk (if the scene has the
-        # channel) or resume the path from the collision point
+        # channel) or resume the path from the collision point.  The
+        # collision anchor is inside the box, so the QUIRKS #19
+        # teleport means the scattered segment can only end at the
+        # sphere or the environment — classify that HERE (pure math)
+        # instead of spending a SEEK iteration on it.
         resume_emit = walks_done & (ascode != AS_SPHERE)
         resume_seek = walks_done & (ascode == AS_SPHERE)
+        sph_res, _ = _sphere_block(scene, anchor, sdir)
         if scene.atlas.has_emission:
             _, _, e_dist = aabb_intersect(scene.root_pmin, scene.root_pmax,
                                           anchor, sdir)
@@ -313,7 +359,10 @@ def fused_direct(scene, params, key, origin, direction,
         else:
             pos = jnp.where(resume_emit[..., None], anchor, pos)
             dirn = jnp.where(resume_emit[..., None], sdir, dirn)
-            phase = jnp.where(resume_emit, P_SEEK, phase)
+            phase = jnp.where(resume_emit,
+                              jnp.where(sph_res, P_SEEK, P_DONE), phase)
+        # sphere-bounce resumes may genuinely re-enter the box (the
+        # sphere anchor can sit outside it) — full SEEK next iteration
         pos = jnp.where(resume_seek[..., None], anchor, pos)
         dirn = jnp.where(resume_seek[..., None], sdir, dirn)
         phase = jnp.where(resume_seek, P_SEEK, phase)
@@ -322,11 +371,12 @@ def fused_direct(scene, params, key, origin, direction,
         e_end = emitting & exited
         pos = jnp.where(e_end[..., None], anchor, pos)
         dirn = jnp.where(e_end[..., None], sdir, dirn)
-        phase = jnp.where(e_end, P_SEEK, phase)
+        phase = jnp.where(e_end, jnp.where(sph_res, P_SEEK, P_DONE), phase)
 
-        return (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr,
-                contrib, dist, t, skip, sphere_lim, phase, ascode, nshadow,
-                depth_n, depth_aov, cost, step + 1)
+        ret = (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr,
+               contrib, dist, t, skip, sphere_lim, phase, ascode, nshadow,
+               depth_n, depth_aov, cost, step + 1)
+        return ret + (pcnt,) if phase_counts else ret
 
     zf = jnp.zeros(B, jnp.float32)
     zi = jnp.zeros(B, jnp.int32)
@@ -335,6 +385,12 @@ def fused_direct(scene, params, key, origin, direction,
              zf, jnp.ones(B, jnp.float32), jnp.zeros((B, 3), jnp.float32),
              zf, zf, zf, jnp.zeros(B, bool), jnp.full(B, P_SEEK, jnp.int32),
              zi, zi, zi, zf, zi, jnp.int32(0))
+    # pre-classify the camera segment (gather-free math): rays start
+    # the loop already MARCHing / in the sphere's sun walk / DONE
+    k0 = jax.random.fold_in(key, 1 << 20)
+    state = seek_block(k0, jax.random.uniform(k0, (B, 4)), state)
+    if phase_counts:
+        state = state + (jnp.zeros((B, 6), jnp.int32),)
 
     if params.fused_loop_mode == "fori":
         state = jax.lax.fori_loop(0, params.max_fused_steps,
@@ -347,12 +403,15 @@ def fused_direct(scene, params, key, origin, direction,
 
     (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr, contrib, dist,
      t, skip, sphere_lim, phase, ascode, nshadow, depth_n, depth_aov, cost,
-     _step) = state
+     _step) = state[:21]
 
     from vpt_tpu.render.integrator import environment_radiance
     L = L + environment_radiance(scene, params, env_pos, dirn) * beta
     alpha = jnp.minimum(alpha, 1.0)
     unfinished = (phase != P_DONE).astype(jnp.float32)
+    if phase_counts:
+        return L, alpha, cost.astype(jnp.float32), unfinished, depth_aov, \
+            state[21]
     if return_state:
         return L, alpha, cost.astype(jnp.float32), unfinished, depth_aov, \
             state

@@ -282,7 +282,7 @@ def _unified_fetch_single(scene, params, pos, direction):
     dim = dimf.astype(jnp.int32)
     flat = off + (i0[..., 2] * dim[1] + i0[..., 1]) * dim[0] + i0[..., 0]
     (flat,) = jax.lax.optimization_barrier((flat,))
-    rows = jnp.take(scene.atlas.density_corners, flat, axis=0)  # (...,10)
+    rows = jnp.take(scene.atlas.density_corners, flat, axis=0)  # (...,15)
     (rows,) = jax.lax.optimization_barrier((rows,))
     density = jnp.sum(rows[..., :8] * _trilerp_weights(frac), axis=-1)
     density = jnp.where(inb, density, 0.0)
@@ -290,22 +290,23 @@ def _unified_fetch_single(scene, params, pos, direction):
     if not params.use_majorant:
         return density, jnp.zeros_like(density)
 
-    # in-box skip: the chebyshev field (voxels) around the base voxel.
-    # skip d > 0 guarantees every base voxel within L-inf radius d-1 is
-    # empty; exit distance of that index-space cube is safe (in world
-    # units because the index position is parameterized by world t).
-    skip_vox = rows[..., 9]
-    r = jnp.maximum(skip_vox - 1.0, 0.0)
-    # exit of the guaranteed-empty voxel cube, parameterized in
+    # in-box skip: the guaranteed-empty BOX around the base voxel
+    # (grid._empty_box_extents): extents [xm,ym,zm] / [xp,yp,zp] in
+    # cols 9:12 / 12:15, -1 on occupied voxels.  Exit distance of that
+    # index-space box is safe (in world units because the index
+    # position is parameterized by world t).
+    ext_m = rows[..., 9:12]
+    ext_p = rows[..., 12:15]
+    # exit of the guaranteed-empty voxel box, parameterized in
     # UNCLIPPED voxel-center space (the clipped coordinate pins
     # boundary-layer samples onto the cube face -> zero-length steps)
-    cube_min = i0f - r[..., None]
-    cube_max = i0f + 1.0 + r[..., None]
+    cube_min = i0f - jnp.maximum(ext_m, 0.0)
+    cube_max = i0f + 1.0 + jnp.maximum(ext_p, 0.0)
     safe_dir = jnp.where(jnp.abs(idir) < 1e-12, 1e-12, idir)
     t1 = (cube_min - x_u) / safe_dir
     t2 = (cube_max - x_u) / safe_dir
     t_exit = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    in_skip = inb & (skip_vox > 0.0)
+    in_skip = inb & (ext_m[..., 0] >= 0.0)
 
     # out-of-box: density is identically 0 outside the grid; advance to
     # the grid-box entry along the ray (the reference pushes shadow

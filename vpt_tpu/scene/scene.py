@@ -62,7 +62,7 @@ class MajorantGrid:
     max_density: jax.Array  # (R, R, R) f32, [z, y, x]
     occupied: jax.Array     # (R, R, R) bool
     skip_dist: jax.Array    # (R, R, R) int32 chebyshev cells to occupancy
-    packed: jax.Array       # (R^3, 2) f32 [cell majorant, skip_dist] —
+    packed: jax.Array       # (R^3, 7) f32 [cell majorant, empty-box ext] —
     #                         one row gather serves both lookups
     # per-cell overlapping-instance lists (the flat analog of
     # OCTNode.vol_indices[600], AABB.h:217-234), -1-padded to the max

@@ -38,7 +38,7 @@ class VolumeAtlas:
     # voxel i, so a trilinear fetch is ONE row gather instead of eight
     # scalar gathers (TPU gathers inside tracking loops serialize
     # per-index, so gather COUNT dominates; 8x memory for 8x speed)
-    density_corners: jax.Array  # (total_voxels, 10) f32 (see _corner_pack)
+    density_corners: jax.Array  # (total_voxels, 15) f32 (see _corner_pack)
     emission: jax.Array       # (total_emission_voxels,) f32
     # corner-packed emission (same rationale: the EMIT walk fetches
     # emission EVERY iteration; 8-tap fetches made emissive scenes
@@ -155,18 +155,89 @@ def _corner_pack_plain(d_zyx: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(out.reshape(8, -1).T)
 
 
+def _empty_box_extents(occ: np.ndarray) -> np.ndarray:
+    """Per-voxel guaranteed-empty axis-aligned boxes.
+
+    occ: (nz,ny,nx) bool — True where a trilinear sample based at the
+    voxel can see density.  Returns (6, nz, ny, nx) float32 extents
+    [xm, ym, zm, xp, yp, zp]: the box
+    ``[v - (xm,ym,zm), v + (xp,yp,zp)]`` (voxel units, inclusive)
+    contains no occupied voxel.  Occupied voxels get -1 in all slots.
+
+    Replaces the scalar chebyshev skip: a ray grazing a surface at
+    L-inf distance k crawls the chebyshev field in ~k-voxel hops
+    (measured 91% of skip steps chained, mean chain ~11 on dragon.vdb)
+    but flies the full length of a surface-hugging SLAB in one step.
+    Greedy growth from the chebyshev cube, one direction at a time,
+    each validated in O(1) with an occupancy integral image; beyond
+    the grid everything is free (density is identically 0 outside)."""
+    from scipy import ndimage
+    nz, ny, nx = occ.shape
+    free = ~occ
+    cheb = ndimage.distance_transform_cdt(free, metric="chessboard")
+    r = np.maximum(cheb.astype(np.int64) - 1, 0)
+    ext = np.stack([r, r, r, r, r, r])  # xm, ym, zm, xp, yp, zp
+
+    ii = np.zeros((nz + 1, ny + 1, nx + 1), np.int64)
+    ii[1:, 1:, 1:] = occ.astype(np.int64).cumsum(0).cumsum(1).cumsum(2)
+    zz, yy, xx = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
+                             indexing="ij")
+
+    def occ_count(z0, z1, y0, y1, x0, x1):
+        """Occupied voxels in the inclusive box; out-of-grid is free."""
+        z0 = np.clip(z0, 0, nz)
+        z1 = np.clip(z1 + 1, 0, nz)
+        y0 = np.clip(y0, 0, ny)
+        y1 = np.clip(y1 + 1, 0, ny)
+        x0 = np.clip(x0, 0, nx)
+        x1 = np.clip(x1 + 1, 0, nx)
+        return (ii[z1, y1, x1] - ii[z0, y1, x1] - ii[z1, y0, x1]
+                - ii[z1, y1, x0] + ii[z0, y0, x1] + ii[z0, y1, x0]
+                + ii[z1, y0, x0] - ii[z0, y0, x0])
+
+    # (extent slot, axis length, sign) — axes ordered x, y, z
+    dirs = [(3, nx, +1), (0, nx, -1), (4, ny, +1), (1, ny, -1),
+            (5, nz, +1), (2, nz, -1)]
+    for slot, n_axis, sign in dirs:
+        add = 1 << max(int(np.ceil(np.log2(max(n_axis, 2)))), 0)
+        while add >= 1:
+            x0, x1 = xx - ext[0], xx + ext[3]
+            y0, y1 = yy - ext[1], yy + ext[4]
+            z0, z1 = zz - ext[2], zz + ext[5]
+            if slot == 3:
+                x0, x1 = x1 + 1, x1 + add
+            elif slot == 0:
+                x0, x1 = x0 - add, x0 - 1
+            elif slot == 4:
+                y0, y1 = y1 + 1, y1 + add
+            elif slot == 1:
+                y0, y1 = y0 - add, y0 - 1
+            elif slot == 5:
+                z0, z1 = z1 + 1, z1 + add
+            else:
+                z0, z1 = z0 - add, z0 - 1
+            ok = free & (occ_count(z0, z1, y0, y1, x0, x1) == 0)
+            ext[slot][ok] += add
+            add >>= 1
+
+    out = ext.astype(np.float32)
+    out[:, occ] = -1.0
+    return out
+
+
 def _corner_pack(d_zyx: np.ndarray) -> np.ndarray:
-    """(nz,ny,nx) -> (nx*ny*nz, 10) rows: the 2x2x2 neighborhood of
+    """(nz,ny,nx) -> (nx*ny*nz, 15) rows: the 2x2x2 neighborhood of
     voxel i (tap order corner = x + 2y + 4z, edge-clamped to match
-    trilinear clamp addressing) PLUS two acceleration channels:
-      col 8 — local density majorant over the voxel's 3^3 region
-              (conservative for any trilinear sample based here)
-      col 9 — chebyshev distance (in voxels) to the nearest voxel whose
-              3^3 region is non-empty (0 if occupied)
+    trilinear clamp addressing) PLUS acceleration channels:
+      col 8     — local density majorant over the voxel's 3^3 region
+                  (conservative for any trilinear sample based here)
+      cols 9-14 — guaranteed-empty box extents [xm,ym,zm,xp,yp,zp]
+                  (voxels; -1 on occupied voxels — see
+                  `_empty_box_extents`)
     One row gather per tracking step serves the density fetch, the
     majorant AND the empty-space skip."""
     nz, ny, nx = d_zyx.shape
-    out = np.empty((10, nz, ny, nx), np.float32)
+    out = np.empty((15, nz, ny, nx), np.float32)
     for c in range(8):
         dx, dy, dz = c & 1, (c >> 1) & 1, (c >> 2) & 1
         shifted = d_zyx[
@@ -185,13 +256,10 @@ def _corner_pack(d_zyx: np.ndarray) -> np.ndarray:
         maj = m  # roll wrap only over-estimates (safe)
     out[8] = maj
 
-    from scipy import ndimage
-    skip = ndimage.distance_transform_cdt(
-        maj <= 0.0, metric="chessboard").astype(np.float32)
-    out[9] = skip
+    out[9:15] = _empty_box_extents(maj > 0.0)
 
     # flat voxel order matches _flat_index: (z*ny + y)*nx + x
-    return np.ascontiguousarray(out.reshape(10, -1).T)
+    return np.ascontiguousarray(out.reshape(15, -1).T)
 
 
 def build_atlas(host_grids: list[HostGrid],
@@ -231,7 +299,7 @@ def build_atlas(host_grids: list[HostGrid],
 
     corner_parts = [_corner_pack(g.density_zyx) for g in host_grids]
     corners = (np.concatenate(corner_parts, axis=0) if corner_parts
-               else np.zeros((1, 10), np.float32))
+               else np.zeros((1, 15), np.float32))
     em_corner_parts = [_corner_pack_plain(np.asarray(g.emission_zyx,
                                                      np.float32))
                        for g in host_grids if g.emission_zyx is not None]
