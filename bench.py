@@ -138,6 +138,19 @@ def main():
         results["config1_dragon"] = dict(ms_per_spp=round(ms, 2),
                                          mrays_per_s=round(mr, 3),
                                          trunc_frac=tr)
+        if ENGINE == "fused" and os.environ.get("BENCH_CACHED", "1") == "1":
+            # cached-shadow variant: NEE transmittance from precomputed
+            # optical-depth fields (accel/shadow.py) — deterministic
+            # quadrature replaces the stochastic walks; estimator
+            # agreement is bounded by tests/test_shadow.py
+            from vpt_tpu.accel.shadow import attach_shadow_cache
+            cscene = attach_shadow_cache(scene, azimuth=150.0,
+                                         elevation=30.0)
+            cparams = params.replace(shadow_mode="cached")
+            ms, mr, tr = measure(cscene, cparams, "config1_dragon_cached")
+            results["config1_dragon_cached"] = dict(
+                ms_per_spp=round(ms, 2), mrays_per_s=round(mr, 3),
+                trunc_frac=tr)
 
     # ---- config 2: emission + blackbody LUT (fireball analog) ----------
     if want("config2_fireball"):

@@ -1,0 +1,135 @@
+"""Cached light-transmittance fields (accel/shadow.py): field
+correctness against closed forms and estimator agreement between
+shadow_mode="cached" and the tracked walks."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from vpt_tpu.accel.shadow import (attach_shadow_cache,
+                                  directional_tau_nodes, point_tau_nodes)
+from vpt_tpu.core.camera import Camera
+from vpt_tpu.lights.lights import PointLights
+from vpt_tpu.render.params import Environment, RenderParams
+from vpt_tpu.render.renderer import ProgressiveRenderer
+from vpt_tpu.scene.scene import build_scene
+from vpt_tpu.volume.grid import HostGrid
+
+
+def _uniform_grid(n=24, value=0.8, voxel=0.25):
+    dens = np.full((n, n, n), value, np.float32)
+    return HostGrid(
+        density_zyx=dens, emission_zyx=None, color_zyx=None,
+        bbox_min=np.zeros(3, np.int32),
+        dim=np.array([n, n, n], np.int32),
+        transform=np.diag([voxel, voxel, voxel, 1.0]),
+        voxel_size=voxel, max_density=value, min_density=value)
+
+
+def _blob_grid(n=32, voxel=0.2):
+    z, y, x = np.mgrid[:n, :n, :n].astype(np.float32)
+    r = np.sqrt((x - n / 2) ** 2 + (y - n / 2) ** 2 + (z - n / 2) ** 2)
+    dens = np.clip(1.0 - r / (n / 2.5), 0.0, 1.0).astype(np.float32)
+    return HostGrid(
+        density_zyx=dens, emission_zyx=None, color_zyx=None,
+        bbox_min=np.zeros(3, np.int32),
+        dim=np.array([n, n, n], np.int32),
+        transform=np.diag([voxel, voxel, voxel, 1.0]),
+        voxel_size=voxel, max_density=float(dens.max()), min_density=1e-6)
+
+
+def test_directional_tau_uniform_box():
+    """Uniform box, axis-aligned sun: tau(node) = value * world
+    distance from the node to the +x face."""
+    n, value, voxel = 16, 0.5, 0.3
+    dens = np.full((n, n, n), value, np.float32)
+    # index-space direction +x; world step per index unit = voxel
+    tau = directional_tau_nodes(dens, np.array([1.0, 0.0, 0.0]),
+                                world_per_idx=voxel)
+    # node i sits at index coordinate i; the field's support ends at
+    # node n-1, with a half-voxel linear falloff ramp on each side —
+    # the exact integral of the trilinearly interpolated field from
+    # node i straight out is value * voxel * (n-1-i + 0.5)
+    xs = np.arange(n)
+    expect = value * voxel * (n - 1 - xs + 0.5)
+    got = tau[n // 2, n // 2, :]
+    np.testing.assert_allclose(got, expect, rtol=0.03, atol=0.02)
+
+
+def test_point_tau_matches_brute_force():
+    """tau(node) (node -> through the light -> grid exit) vs a dense
+    midpoint quadrature of the same trilinear field."""
+    from vpt_tpu.accel.shadow import _trilinear_index
+    n, value, voxel = 20, 0.6, 0.25
+    g = _uniform_grid(n, value, voxel)
+    xform = np.asarray(g.transform, np.float64)
+    light_w = np.array([(n - 1) / 2 + 0.5] * 3) @ xform[:3, :3]
+    tau = point_tau_nodes(g.density_zyx, xform, g.bbox_min, light_w)
+
+    def brute(iz, iy, ix):
+        node_w = (np.array([ix, iy, iz]) + 0.5) * voxel
+        w = light_w - node_w
+        w = w / np.linalg.norm(w)
+        ts = np.arange(0, 10.0, 0.002) + 0.001
+        ipos = (node_w + w * ts[:, None]) / voxel - 0.5
+        return _trilinear_index(g.density_zyx, ipos).sum() * 0.002
+
+    for node in [(10, 10, 10), (10, 10, 4), (10, 10, 0), (3, 7, 15)]:
+        got, expect = tau[node], brute(*node)
+        assert abs(got - expect) / max(expect, 1e-6) < 0.02, \
+            (node, got, expect)
+
+
+@pytest.fixture(scope="module")
+def lit_scene():
+    g = _blob_grid()
+    lights = PointLights.make([[2.0, 5.0, 6.0]], [[1.0, 0.9, 0.8]], [80.0])
+    s = build_scene([g], lights=lights)
+    c = (np.asarray(s.root_pmin) + np.asarray(s.root_pmax)) / 2
+    cam = Camera.make(c + np.array([0.0, 0.5, 8.0]), c, vfov=40.0,
+                      aspect=1.0)
+    return dataclasses.replace(s, camera=cam)
+
+
+BASE = dict(width=32, height=32, ray_depth=6, max_track_steps=96,
+            max_fused_steps=768, environment_type=int(Environment.BLACK),
+            sun_mult=1.0, azimuth=120.0, elevation=40.0)
+
+
+def test_cached_matches_tracked_mean(lit_scene):
+    tracked = ProgressiveRenderer(
+        lit_scene, RenderParams(engine="fused", **BASE)).render(24)
+    cached_scene = attach_shadow_cache(lit_scene, azimuth=BASE["azimuth"],
+                                       elevation=BASE["elevation"])
+    cached = ProgressiveRenderer(
+        cached_scene,
+        RenderParams(engine="fused", shadow_mode="cached", **BASE)).render(24)
+    a = np.asarray(tracked.accum)
+    b = np.asarray(cached.accum)
+    assert np.isfinite(b).all() and (b >= 0).all()
+    assert a.mean() > 0
+    # deterministic-vs-stochastic transmittance: same expectation up to
+    # quadrature/interpolation error + MC noise
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.08, (a.mean(), b.mean())
+
+
+def test_cached_requires_bake(lit_scene):
+    with pytest.raises(ValueError):
+        ProgressiveRenderer(
+            lit_scene,
+            RenderParams(engine="fused", shadow_mode="cached",
+                         **BASE)).render(1)
+
+
+def test_cached_light_count_check(lit_scene):
+    cached_scene = attach_shadow_cache(lit_scene, azimuth=BASE["azimuth"],
+                                       elevation=BASE["elevation"])
+    # drop the lights: channel count no longer matches
+    no_lights = dataclasses.replace(cached_scene,
+                                    lights=PointLights.empty())
+    with pytest.raises(ValueError):
+        ProgressiveRenderer(
+            no_lights,
+            RenderParams(engine="fused", shadow_mode="cached",
+                         **BASE)).render(1)

@@ -56,6 +56,11 @@ def build_parser():
     r.add_argument("--light", nargs=7, type=float, action="append",
                    metavar="V", default=None,
                    help="px py pz r g b power (repeatable)")
+    r.add_argument("--shadow-mode", choices=["tracked", "cached"],
+                   default="tracked",
+                   help="cached = precomputed light-transmittance "
+                        "fields (deep-shadow style; single-instance "
+                        "scenes, fused engine)")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
@@ -180,12 +185,20 @@ def cmd_render(args):
         integrator=int(Integrator.DIRECT if args.integrator == "direct"
                        else Integrator.VOLUMETRIC),
         environment_type=int(env_type), engine=args.engine, seed=args.seed,
+        shadow_mode=getattr(args, "shadow_mode", "tracked"),
     ).replace(
         exposure_scale=args.exposure, azimuth=args.azimuth,
         elevation=args.elevation, sun_mult=args.sun_mult,
         sky_mult=args.sky_mult, phase_g1=args.phase_g,
         density_mult=args.density_mult, emission_scale=args.emission_scale,
     )
+
+    if getattr(args, "shadow_mode", "tracked") == "cached":
+        from vpt_tpu.accel.shadow import attach_shadow_cache
+        t1 = time.time()
+        scene = attach_shadow_cache(scene, azimuth=args.azimuth,
+                                    elevation=args.elevation)
+        log(f"shadow cache baked in {time.time()-t1:.1f}s")
 
     t0 = time.time()
     if args.sharded and jax.device_count() > 1:

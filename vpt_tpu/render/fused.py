@@ -81,9 +81,9 @@ def fused_direct(scene, params, key, origin, direction,
     depth) — cost = loop iterations spent walking per ray, unfinished =
     step-budget truncation flag (the bench's honesty audit).
 
-    phase_counts=True additionally returns a (B, 3) int32 array of
-    per-ray steps spent in (MARCH, SHADOW, EMIT) — the diagnostic that
-    motivates the cached-shadow mode (see accel/shadow.py)."""
+    phase_counts=True additionally returns a (B, 6) int32 array of
+    per-ray step-kind counters — the diagnostic that motivated the
+    free-flight merge and the cached-shadow mode (accel/shadow.py)."""
     B = origin.shape[0]
     sigma_max = scene.max_extinction
     sigma_c = scene.min_extinction
@@ -100,6 +100,33 @@ def fused_direct(scene, params, key, origin, direction,
         light_rows = jnp.concatenate(
             [scene.lights.pos, scene.lights.color,
              scene.lights.power[:, None]], axis=1)  # (L, 7)
+
+    # cached-shadow mode (accel/shadow.py): NEE transmittances come
+    # from optical-depth channels riding the density corner row — the
+    # medium event's whole light loop costs ZERO walk iterations.
+    # STATIC switch: it reshapes the trace.
+    cached_shadows = (params.shadow_mode == "cached"
+                      and scene.instances.count == 1)
+    if cached_shadows:
+        from vpt_tpu.accel.shadow import n_cached_lights
+        n_ch = n_cached_lights(scene.atlas)
+        if n_ch != n_lights:
+            raise ValueError(
+                f"shadow cache has {n_ch} light channels but the scene "
+                f"has {n_lights} point lights — re-run "
+                "accel.shadow.attach_shadow_cache on this scene")
+
+    def cached_tr(tau, point, w):
+        """E[residual-ratio Tr] of a walk from `point` along `w`
+        (_shadow_init semantics): exp(-sigma_c*d) * the residual
+        expectation exp(-(tau - sigma_c*d)/tr_depth), 0 on sphere hit
+        (QUIRKS #7)."""
+        _, _, d = aabb_intersect(scene.root_pmin, scene.root_pmax,
+                                 point, w)
+        d = jnp.maximum(d, 0.0)
+        sph_occ, _ = _sphere_block(scene, point, w)
+        tr = jnp.exp(-sigma_c * d - (tau - sigma_c * d) / params.tr_depth)
+        return jnp.where(sph_occ, 0.0, jnp.clip(tr, 0.0, 1.0))
 
     def sphere_event(kd, u, pos, dirn, beta, L):
         """Sphere shading (render_kernel.cu:1807-1834) minus the sun Tr
@@ -223,7 +250,11 @@ def fused_direct(scene, params, key, origin, direction,
         exited = walking & (t_new >= dist)
         cursor = pos + dirn * t_new[..., None]
 
-        density, skip_new = unified_fetch(scene, params, cursor, dirn)
+        if cached_shadows:
+            density, skip_new, taus = unified_fetch(scene, params, cursor,
+                                                    dirn, with_tau=True)
+        else:
+            density, skip_new = unified_fetch(scene, params, cursor, dirn)
         skip = jnp.where(walking, jnp.where(exited, 0.0, skip_new), skip)
         # only commit the advance for steps that stay inside the walk
         t = jnp.where(walking & ~exited, t_new, t)
@@ -272,23 +303,49 @@ def fused_direct(scene, params, key, origin, direction,
         sdir = jnp.where(accept[..., None], hg_dir, sdir)
         depth_aov = jnp.where(accept & (depth_aov == 0.0),
                               length(cursor - origin), depth_aov)
-        nshadow = jnp.where(accept, n_pt_walks, nshadow)
 
-        w_pos, w_dist, w_tr0 = _shadow_init(
-            scene, params, anchor, jnp.broadcast_to(sun_dir, pos.shape))
         cos_sun = jnp.sum(sdir * sun_dir, axis=-1)
         sun_contrib = (vec3_param(params.sun_color) * params.sun_mult
                        * phase_eval(params, cos_sun)[..., None])
-        pos = jnp.where(accept[..., None], w_pos, pos)
-        dirn = jnp.where(accept[..., None],
-                         jnp.broadcast_to(sun_dir, pos.shape), dirn)
-        dist = jnp.where(accept, w_dist, dist)
-        tr = jnp.where(accept, w_tr0, tr)
-        t = jnp.where(accept, 0.0, t)
-        skip = jnp.where(accept, 0.0, skip)
-        contrib = jnp.where(accept[..., None], sun_contrib, contrib)
-        ascode = jnp.where(accept, AS_SUN, ascode)
-        phase = jnp.where(accept, P_SHADOW, phase)
+        if cached_shadows:
+            # whole NEE (sun + every point light) evaluated from the
+            # cached optical depths riding this step's row gather —
+            # zero walk iterations; same expectation as the tracked
+            # walks (the random-light budget becomes the explicit
+            # n_pt_walks/n_lights-weighted sum, a variance reduction)
+            nee = sun_contrib * cached_tr(
+                taus[..., 0], cursor,
+                jnp.broadcast_to(sun_dir, pos.shape))[..., None]
+            pt_w = n_pt_walks / max(n_lights, 1)
+            for i in range(n_lights):
+                lp = scene.lights.pos[i]
+                wi = normalize(lp - cursor)
+                cos_pt = jnp.sum(sdir * wi, axis=-1)
+                if params.reference_falloff:  # QUIRKS #2
+                    sqr = length(lp * lp - cursor * cursor)
+                else:
+                    sqr = jnp.sum((lp - cursor) ** 2, axis=-1)
+                falloff = 1.0 / jnp.maximum(sqr, 1e-12)
+                pt_contrib = scene.lights.color[i] * (
+                    scene.lights.power[i] * phase_eval(params, cos_pt)
+                    * falloff * pt_w)[..., None]
+                nee = nee + pt_contrib * cached_tr(taus[..., 1 + i],
+                                                   cursor, wi)[..., None]
+            L = L + jnp.where(accept[..., None], nee * beta, 0.0)
+        else:
+            nshadow = jnp.where(accept, n_pt_walks, nshadow)
+            w_pos, w_dist, w_tr0 = _shadow_init(
+                scene, params, anchor, jnp.broadcast_to(sun_dir, pos.shape))
+            pos = jnp.where(accept[..., None], w_pos, pos)
+            dirn = jnp.where(accept[..., None],
+                             jnp.broadcast_to(sun_dir, pos.shape), dirn)
+            dist = jnp.where(accept, w_dist, dist)
+            tr = jnp.where(accept, w_tr0, tr)
+            t = jnp.where(accept, 0.0, t)
+            skip = jnp.where(accept, 0.0, skip)
+            contrib = jnp.where(accept[..., None], sun_contrib, contrib)
+            ascode = jnp.where(accept, AS_SUN, ascode)
+            phase = jnp.where(accept, P_SHADOW, phase)
 
         # primary walk exit without interaction -> classify the
         # continuation HERE (pure math): DONE unless the sphere lies
@@ -345,6 +402,9 @@ def fused_direct(scene, params, key, origin, direction,
         # sphere or the environment — classify that HERE (pure math)
         # instead of spending a SEEK iteration on it.
         resume_emit = walks_done & (ascode != AS_SPHERE)
+        if cached_shadows:
+            # cached medium events resume directly (their NEE is done)
+            resume_emit = resume_emit | accept
         resume_seek = walks_done & (ascode == AS_SPHERE)
         sph_res, _ = _sphere_block(scene, anchor, sdir)
         if scene.atlas.has_emission:

@@ -72,6 +72,10 @@ class RenderParams:
     shadow_samples: int = 96       # march-engine shadow quadrature points
     use_double_hg: bool = False    # QUIRKS #22 (dead code in the reference)
     use_majorant: bool = True      # empty-space skipping on/off
+    shadow_mode: str = "tracked"   # tracked | cached — cached reads
+    #                                NEE transmittance from precomputed
+    #                                optical-depth corner channels
+    #                                (accel/shadow.attach_shadow_cache)
     hdri_importance: bool = False  # QUIRKS #24 (reference: uniform sphere)
     reference_hg_constant: bool = True  # QUIRKS #1 (pi/4 HG constant)
     reference_falloff: bool = True      # QUIRKS #2 (point-light falloff)

@@ -229,23 +229,31 @@ def density_color_lut(scene, params, density):
 # unified per-step fetch (density + empty-space skip in minimal gathers)
 # ---------------------------------------------------------------------------
 
-def unified_fetch(scene, params, pos, direction):
-    """One tracking-step fetch: (density, skip_dt).
+def unified_fetch(scene, params, pos, direction, with_tau: bool = False):
+    """One tracking-step fetch: (density, skip_dt[, tau]).
 
     ``density`` — summed raw scene density at ``pos``;
     ``skip_dt``  — a distance (world units, along ``direction``) the
     ray may advance from ``pos`` while provably staying in zero
     density (0 when the local region is occupied).  Skipping is a
     sequence of null events, so it leaves every tracking estimator's
-    distribution unchanged (QUIRKS #13, #20).
+    distribution unchanged (QUIRKS #13, #20);
+    ``tau``      — (..., C) cached optical depths toward the sun and
+    point lights (accel/shadow.py), interpolated from the SAME row —
+    only when ``with_tau`` (single-instance scenes with a baked
+    shadow cache).
 
     Gather budget (the TPU cost driver): single-instance scenes use
-    ONE (V,10) corner-row gather that carries the 8 trilinear taps,
-    the local majorant and the chebyshev skip distance; multi-instance
-    scenes add one (R^3,2) majorant-grid row for the skip field.
+    ONE (V,15[+8C]) corner-row gather that carries the 8 trilinear
+    taps, the local majorant, the empty-box skip extents and the
+    shadow-cache channels; multi-instance scenes add one (R^3,7)
+    majorant-grid row for the skip field.
     """
     if scene.instances.count == 1 and not _use_cells(scene):
-        return _unified_fetch_single(scene, params, pos, direction)
+        return _unified_fetch_single(scene, params, pos, direction,
+                                     with_tau)
+    if with_tau:
+        raise ValueError("shadow cache requires a single-instance scene")
     density = scene_density(scene, pos)
     if not params.use_majorant or scene.majorant is None:
         return density, jnp.zeros_like(density)
@@ -259,9 +267,11 @@ def unified_fetch(scene, params, pos, direction):
     return density, skip_dt
 
 
-def _unified_fetch_single(scene, params, pos, direction):
+def _unified_fetch_single(scene, params, pos, direction,
+                          with_tau: bool = False):
     """Single-instance fast path: one corner-row gather serves density,
-    majorant and skip (ARCHITECTURE 'corner-packed rows')."""
+    majorant, skip and (optionally) the cached shadow optical depths
+    (ARCHITECTURE 'corner-packed rows')."""
     inv = scene.instances.inv_xform[0]
     row = scene.instances.packed_rows[0]
     bmin = row[12:15]
@@ -282,13 +292,26 @@ def _unified_fetch_single(scene, params, pos, direction):
     dim = dimf.astype(jnp.int32)
     flat = off + (i0[..., 2] * dim[1] + i0[..., 1]) * dim[0] + i0[..., 0]
     (flat,) = jax.lax.optimization_barrier((flat,))
-    rows = jnp.take(scene.atlas.density_corners, flat, axis=0)  # (...,15)
+    rows = jnp.take(scene.atlas.density_corners, flat, axis=0)  # (...,15+)
     (rows,) = jax.lax.optimization_barrier((rows,))
-    density = jnp.sum(rows[..., :8] * _trilerp_weights(frac), axis=-1)
+    w8 = _trilerp_weights(frac)
+    density = jnp.sum(rows[..., :8] * w8, axis=-1)
     density = jnp.where(inb, density, 0.0)
 
+    tau = None
+    if with_tau:
+        n_ch = (rows.shape[-1] - 15) // 8
+        if n_ch < 1:
+            raise ValueError("shadow_mode='cached' but the scene has no "
+                             "baked cache — call accel.shadow."
+                             "attach_shadow_cache first")
+        tau = jnp.stack(
+            [jnp.sum(rows[..., 15 + 8 * c:23 + 8 * c] * w8, axis=-1)
+             for c in range(n_ch)], axis=-1)
+
     if not params.use_majorant:
-        return density, jnp.zeros_like(density)
+        zero = jnp.zeros_like(density)
+        return (density, zero, tau) if with_tau else (density, zero)
 
     # in-box skip: the guaranteed-empty BOX around the base voxel
     # (grid._empty_box_extents): extents [xm,ym,zm] / [xp,yp,zp] in
@@ -329,7 +352,7 @@ def _unified_fetch_single(scene, params, pos, direction):
     skip_in = jnp.where(t_exit > 0.0, t_exit + 1e-3, 0.0)
     skip_out = jnp.where(t_entry > 0.0, t_entry + 1e-3, 0.0)
     skip_dt = jnp.where(in_skip, skip_in, jnp.where(inb, 0.0, skip_out))
-    return density, skip_dt
+    return (density, skip_dt, tau) if with_tau else (density, skip_dt)
 
 
 # ---------------------------------------------------------------------------
