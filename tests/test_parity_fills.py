@@ -167,12 +167,17 @@ def test_blue_noise_jitter():
     # that error to high frequencies (less blotchy after blurring).
     # (At higher spp the reference's scalar golden-ratio advance walks
     # both channels along a diagonal, diluting the 2-D advantage —
-    # a reference quirk we keep.)
-    a_w = np.asarray(ProgressiveRenderer(scene, base).render(1).alpha)
-    a_b = np.asarray(ProgressiveRenderer(
-        scene, base.replace(jitter="bluenoise")).render(1).alpha)
-    lf_w = np.linalg.norm(ndimage.gaussian_filter(a_w - ref, 2.0))
-    lf_b = np.linalg.norm(ndimage.gaussian_filter(a_b - ref, 2.0))
+    # a reference quirk we keep.)  Averaged over seeds: a single
+    # realization's margin flips with any estimator-realization change.
+    lf_w = lf_b = 0.0
+    for seed in (0, 1, 2):
+        a_w = np.asarray(ProgressiveRenderer(
+            scene, base.replace(seed=seed)).render(1).alpha)
+        a_b = np.asarray(ProgressiveRenderer(
+            scene, base.replace(seed=seed,
+                                jitter="bluenoise")).render(1).alpha)
+        lf_w += np.linalg.norm(ndimage.gaussian_filter(a_w - ref, 2.0))
+        lf_b += np.linalg.norm(ndimage.gaussian_filter(a_b - ref, 2.0))
     assert lf_b < lf_w, (lf_b, lf_w)
 
 

@@ -51,8 +51,8 @@ L, alpha, cost, unfin, depth, pcnt = jax.jit(
 pcnt = np.asarray(pcnt)
 cost = np.asarray(cost)
 tot = pcnt.sum(0)
-names = ["MARCH-skip", "MARCH-sample", "MARCH-exit", "SHADOW", "EMIT",
-         "skip-after-skip"]
+names = ["jump-merged", "MARCH-sample", "MARCH-exit", "SHADOW", "EMIT",
+         "covers-fold", "accepts"]
 print(f"rays: {W*H}   total walking steps: {cost.sum():.0f}")
 for n, v in zip(names, tot):
     print(f"{n:<13s}: {v:>10d}  ({100*v/cost.sum():.1f}%)")
@@ -67,8 +67,9 @@ def q(x, label):
           f"{np.percentile(x,99.9):5.0f}  max {x.max():5.0f}")
 
 
-tot_ray = pcnt[:, :5].sum(1)
-q(tot_ray, "total steps/ray")
-q(tot_ray - pcnt[:, 3], "minus SHADOW (cached)")
-q(tot_ray - pcnt[:, 5], "minus chained skips (box)")
-q(tot_ray - pcnt[:, 3] - pcnt[:, 5] - pcnt[:, 2], "minus all three")
+q(cost, "walking steps/ray")
+q(cost - pcnt[:, 3], "minus SHADOW (cached)")
+acc = pcnt[:, 6].sum()
+samp = pcnt[:, 1].sum()
+print(f"accepts: {acc}  null fraction of MARCH samples: "
+      f"{1 - acc / max(samp, 1):.2f}")

@@ -229,7 +229,8 @@ def density_color_lut(scene, params, density):
 # unified per-step fetch (density + empty-space skip in minimal gathers)
 # ---------------------------------------------------------------------------
 
-def unified_fetch(scene, params, pos, direction, with_tau: bool = False):
+def unified_fetch(scene, params, pos, direction, with_tau: bool = False,
+                  banded: bool = False):
     """One tracking-step fetch: (density, skip_dt[, tau]).
 
     ``density`` — summed raw scene density at ``pos``;
@@ -251,9 +252,10 @@ def unified_fetch(scene, params, pos, direction, with_tau: bool = False):
     """
     if scene.instances.count == 1 and not _use_cells(scene):
         return _unified_fetch_single(scene, params, pos, direction,
-                                     with_tau)
-    if with_tau:
-        raise ValueError("shadow cache requires a single-instance scene")
+                                     with_tau, banded)
+    if with_tau or banded:
+        raise ValueError("shadow cache / banded stepping require a "
+                         "single-instance scene")
     density = scene_density(scene, pos)
     if not params.use_majorant or scene.majorant is None:
         return density, jnp.zeros_like(density)
@@ -268,10 +270,19 @@ def unified_fetch(scene, params, pos, direction, with_tau: bool = False):
 
 
 def _unified_fetch_single(scene, params, pos, direction,
-                          with_tau: bool = False):
+                          with_tau: bool = False, banded: bool = False):
     """Single-instance fast path: one corner-row gather serves density,
-    majorant, skip and (optionally) the cached shadow optical depths
-    (ARCHITECTURE 'corner-packed rows')."""
+    banded majorant, skip and (optionally) the cached shadow optical
+    depths (ARCHITECTURE 'corner-packed rows').
+
+    banded=False: (density, skip_dt[, tau]) — skip_dt > 0 only for
+    guaranteed-EMPTY regions (T_box == 0), the reference-engine walk
+    contract.
+    banded=True: (density, s_box, t_box[, tau]) — s_box is the exit
+    distance of the current bounded-density box and t_box its density
+    bound (0 = empty; out-of-grid positions report an empty box
+    reaching to the grid entry).  Powers the fused engine's
+    spatially-varying-majorant stepping."""
     inv = scene.instances.inv_xform[0]
     row = scene.instances.packed_rows[0]
     bmin = row[12:15]
@@ -311,25 +322,30 @@ def _unified_fetch_single(scene, params, pos, direction,
 
     if not params.use_majorant:
         zero = jnp.zeros_like(density)
-        return (density, zero, tau) if with_tau else (density, zero)
+        if banded:
+            out = (density, zero, jnp.full_like(density,
+                                                scene.max_extinction))
+        else:
+            out = (density, zero)
+        return out + (tau,) if with_tau else out
 
-    # in-box skip: the guaranteed-empty BOX around the base voxel
-    # (grid._empty_box_extents): extents [xm,ym,zm] / [xp,yp,zp] in
-    # cols 9:12 / 12:15, -1 on occupied voxels.  Exit distance of that
-    # index-space box is safe (in world units because the index
-    # position is parameterized by world t).
+    # in-box: the bounded-density BOX around the base voxel
+    # (grid._corner_pack): T_box in col 8 (0 = guaranteed empty),
+    # extents [xm,ym,zm] / [xp,yp,zp] in cols 9:12 / 12:15.  Exit
+    # distance of that index-space box is safe (in world units because
+    # the index position is parameterized by world t), computed in
+    # UNCLIPPED voxel-center space (the clipped coordinate pins
+    # boundary-layer samples onto the cube face -> zero-length steps).
+    t_box = rows[..., 8]
     ext_m = rows[..., 9:12]
     ext_p = rows[..., 12:15]
-    # exit of the guaranteed-empty voxel box, parameterized in
-    # UNCLIPPED voxel-center space (the clipped coordinate pins
-    # boundary-layer samples onto the cube face -> zero-length steps)
     cube_min = i0f - jnp.maximum(ext_m, 0.0)
     cube_max = i0f + 1.0 + jnp.maximum(ext_p, 0.0)
     safe_dir = jnp.where(jnp.abs(idir) < 1e-12, 1e-12, idir)
     t1 = (cube_min - x_u) / safe_dir
     t2 = (cube_max - x_u) / safe_dir
     t_exit = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    in_skip = inb & (ext_m[..., 0] >= 0.0)
+    in_skip = inb & (t_box <= 0.0)
 
     # out-of-box: density is identically 0 outside the grid; advance to
     # the grid-box entry along the ray (the reference pushes shadow
@@ -351,6 +367,17 @@ def _unified_fetch_single(scene, params, pos, direction,
     # events, and a "+1e-3" jump would crawl for hundreds of steps
     skip_in = jnp.where(t_exit > 0.0, t_exit + 1e-3, 0.0)
     skip_out = jnp.where(t_entry > 0.0, t_entry + 1e-3, 0.0)
+    if banded:
+        # (s_box, t_box): out-of-grid = empty box reaching the grid
+        # entry.  No +1e-3 nudge here — the bound is only valid
+        # INSIDE the box (a nudged landing could exceed T), and the
+        # banded step rule always adds a global-rate exponential
+        # beyond the box, so degenerate exits cannot crawl.
+        s_box = jnp.where(inb, jnp.maximum(t_exit, 0.0),
+                          jnp.maximum(t_entry, 0.0))
+        t_out = jnp.where(inb, t_box, 0.0)
+        return (density, s_box, t_out, tau) if with_tau \
+            else (density, s_box, t_out)
     skip_dt = jnp.where(in_skip, skip_in, jnp.where(inb, 0.0, skip_out))
     return (density, skip_dt, tau) if with_tau else (density, skip_dt)
 

@@ -155,7 +155,8 @@ def _corner_pack_plain(d_zyx: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(out.reshape(8, -1).T)
 
 
-def _empty_box_extents(occ: np.ndarray) -> np.ndarray:
+def _empty_box_extents(occ: np.ndarray,
+                       where: np.ndarray | None = None) -> np.ndarray:
     """Per-voxel guaranteed-empty axis-aligned boxes.
 
     occ: (nz,ny,nx) bool — True where a trilinear sample based at the
@@ -163,6 +164,8 @@ def _empty_box_extents(occ: np.ndarray) -> np.ndarray:
     [xm, ym, zm, xp, yp, zp]: the box
     ``[v - (xm,ym,zm), v + (xp,yp,zp)]`` (voxel units, inclusive)
     contains no occupied voxel.  Occupied voxels get -1 in all slots.
+    ``where`` restricts the computation to a voxel subset (other
+    voxels get -1) — the banded builder calls once per band.
 
     Replaces the scalar chebyshev skip: a ray grazing a surface at
     L-inf distance k crawls the chebyshev field in ~k-voxel hops
@@ -174,14 +177,15 @@ def _empty_box_extents(occ: np.ndarray) -> np.ndarray:
     from scipy import ndimage
     nz, ny, nx = occ.shape
     free = ~occ
+    sel = free if where is None else (free & where)
     cheb = ndimage.distance_transform_cdt(free, metric="chessboard")
-    r = np.maximum(cheb.astype(np.int64) - 1, 0)
-    ext = np.stack([r, r, r, r, r, r])  # xm, ym, zm, xp, yp, zp
+
+    zz, yy, xx = np.nonzero(sel)
+    r = np.maximum(cheb[zz, yy, xx].astype(np.int64) - 1, 0)
+    ext = np.stack([r, r, r, r, r, r])  # (6, n_sel)
 
     ii = np.zeros((nz + 1, ny + 1, nx + 1), np.int64)
     ii[1:, 1:, 1:] = occ.astype(np.int64).cumsum(0).cumsum(1).cumsum(2)
-    zz, yy, xx = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
-                             indexing="ij")
 
     def occ_count(z0, z1, y0, y1, x0, x1):
         """Occupied voxels in the inclusive box; out-of-grid is free."""
@@ -195,10 +199,9 @@ def _empty_box_extents(occ: np.ndarray) -> np.ndarray:
                 - ii[z1, y1, x0] + ii[z0, y0, x1] + ii[z0, y1, x0]
                 + ii[z1, y0, x0] - ii[z0, y0, x0])
 
-    # (extent slot, axis length, sign) — axes ordered x, y, z
-    dirs = [(3, nx, +1), (0, nx, -1), (4, ny, +1), (1, ny, -1),
-            (5, nz, +1), (2, nz, -1)]
-    for slot, n_axis, sign in dirs:
+    # (extent slot, axis length) — axes ordered x, y, z
+    dirs = [(3, nx), (0, nx), (4, ny), (1, ny), (5, nz), (2, nz)]
+    for slot, n_axis in dirs:
         add = 1 << max(int(np.ceil(np.log2(max(n_axis, 2)))), 0)
         while add >= 1:
             x0, x1 = xx - ext[0], xx + ext[3]
@@ -216,26 +219,33 @@ def _empty_box_extents(occ: np.ndarray) -> np.ndarray:
                 z0, z1 = z1 + 1, z1 + add
             else:
                 z0, z1 = z0 - add, z0 - 1
-            ok = free & (occ_count(z0, z1, y0, y1, x0, x1) == 0)
+            ok = occ_count(z0, z1, y0, y1, x0, x1) == 0
             ext[slot][ok] += add
             add >>= 1
 
-    out = ext.astype(np.float32)
-    out[:, occ] = -1.0
+    out = np.full((6, nz, ny, nx), -1.0, np.float32)
+    out[:, zz, yy, xx] = ext.astype(np.float32)
     return out
+
+
+BAND_DIVISORS = (0.0, 1 / 8, 1 / 4, 1 / 2, 1.0)
 
 
 def _corner_pack(d_zyx: np.ndarray) -> np.ndarray:
     """(nz,ny,nx) -> (nx*ny*nz, 15) rows: the 2x2x2 neighborhood of
     voxel i (tap order corner = x + 2y + 4z, edge-clamped to match
     trilinear clamp addressing) PLUS acceleration channels:
-      col 8     — local density majorant over the voxel's 3^3 region
-                  (conservative for any trilinear sample based here)
-      cols 9-14 — guaranteed-empty box extents [xm,ym,zm,xp,yp,zp]
-                  (voxels; -1 on occupied voxels — see
-                  `_empty_box_extents`)
+      col 8     — T_box: a density bound that holds for EVERY
+                  trilinear sample whose base voxel lies in the box
+                  below (0 = guaranteed empty; banded at
+                  BAND_DIVISORS * grid max)
+      cols 9-14 — that box's extents [xm,ym,zm,xp,yp,zp] (voxels)
     One row gather per tracking step serves the density fetch, the
-    majorant AND the empty-space skip."""
+    banded majorant AND the empty-space skip.  Banding lets delta
+    tracking sample at the LOCAL bound instead of the global majorant
+    (null-collision fraction measured 95% on dragon.vdb at the global
+    rate) — an unbiased spatially-varying-majorant scheme (PBRT 4e
+    §11.4), with the box exit as the bound's validity horizon."""
     nz, ny, nx = d_zyx.shape
     out = np.empty((15, nz, ny, nx), np.float32)
     for c in range(8):
@@ -254,9 +264,23 @@ def _corner_pack(d_zyx: np.ndarray) -> np.ndarray:
         m = np.maximum(m, np.roll(maj, 1, axis=axis))
         m = np.maximum(m, np.roll(maj, -1, axis=axis))
         maj = m  # roll wrap only over-estimates (safe)
-    out[8] = maj
 
-    out[9:15] = _empty_box_extents(maj > 0.0)
+    gmax = float(maj.max())
+    bands = [gmax * f for f in BAND_DIVISORS]
+    band_idx = np.zeros(maj.shape, np.int8)
+    for b, t in enumerate(bands):
+        band_idx[maj > t] = min(b + 1, len(bands) - 1)
+    t_box = np.zeros(maj.shape, np.float32)
+    ext = np.zeros((6,) + maj.shape, np.float32)
+    for b, t in enumerate(bands):
+        sel = band_idx == b
+        if not sel.any():
+            continue
+        eb = _empty_box_extents(maj > t, where=sel)
+        ext[:, sel] = eb[:, sel]
+        t_box[sel] = t
+    out[8] = t_box
+    out[9:15] = ext
 
     # flat voxel order matches _flat_index: (z*ny + y)*nx + x
     return np.ascontiguousarray(out.reshape(15, -1).T)
