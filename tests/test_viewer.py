@@ -75,3 +75,22 @@ def test_viewer_param_change_restarts(viewer_url):
     _get(viewer_url + "/set?name=density_mult&value=2.0")
     after = json.loads(_get(viewer_url + "/status"))["spp"]
     assert after < before  # accumulation restarted
+
+
+def test_viewer_camera_orbit(viewer_url):
+    """Orbit/pan/zoom rebuild the camera and restart accumulation
+    (main.cpp:1105-1129)."""
+    import vpt_tpu.app.viewer as vm
+    st = vm._LAST_STATE
+    eye0 = np.asarray(st.renderer.scene.camera.origin).copy()
+    d0 = st.dist
+    _get(viewer_url + "/camera?kind=orbit&a=40&b=10")
+    eye1 = np.asarray(st.renderer.scene.camera.origin)
+    assert not np.allclose(eye0, eye1)
+    _get(viewer_url + "/camera?kind=zoom&a=1&b=0")
+    assert st.dist > d0
+    piv0 = st.pivot.copy()
+    _get(viewer_url + "/camera?kind=pan&a=30&b=0")
+    assert not np.allclose(piv0, st.pivot)
+    # the frame still renders after the camera moves
+    assert _get(viewer_url + "/frame.png")[:4] == b"\x89PNG"

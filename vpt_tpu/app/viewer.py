@@ -9,6 +9,7 @@ Usage:  `vpt view scene.vdb` then open http://localhost:8787
 
 from __future__ import annotations
 
+import dataclasses
 import io
 import json
 import threading
@@ -34,16 +35,21 @@ _DYNAMIC_SLIDERS = [
 
 _PAGE = """<!doctype html><html><head><title>vpt viewer</title><style>
 body{background:#111;color:#ddd;font:13px sans-serif;display:flex;margin:0}
-#img{image-rendering:pixelated;margin:12px;border:1px solid #333}
+#img{image-rendering:pixelated;margin:12px;border:1px solid #333;
+     cursor:grab;user-select:none}
 #panel{padding:12px;min-width:280px}
 label{display:block;margin-top:8px}
 input[type=range]{width:240px}
 #stat{color:#8c8;margin-bottom:8px}
+#hint{color:#777;font-size:11px;margin-top:10px}
 </style></head><body>
-<img id="img" width="__W__" height="__H__"/>
+<img id="img" width="__W__" height="__H__" draggable="false"/>
 <div id="panel"><div id="stat">starting…</div>__SLIDERS__
 <button onclick="fetch('/reset')">restart accumulation</button>
 <button onclick="window.open('/frame.png')">save frame</button>
+<div id="hint">drag: orbit · shift-drag / middle-drag: pan ·
+wheel: zoom (the reference's LMB/MMB/scroll camera,
+main.cpp:1105-1129)</div>
 </div>
 <script>
 function setp(n,v){document.getElementById('v_'+n).textContent=v;
@@ -55,6 +61,29 @@ async function tick(){
   document.getElementById('img').src='/frame.png?t='+Date.now();
 }
 setInterval(tick, 700); tick();
+
+// ---- camera controls (orbit / pan / zoom) ----
+const img=document.getElementById('img');
+let drag=null, cam_dirty=null;
+img.addEventListener('mousedown', e=>{
+  drag={x:e.clientX, y:e.clientY, pan:(e.button===1||e.shiftKey)};
+  e.preventDefault();});
+window.addEventListener('mouseup', ()=>{drag=null;});
+window.addEventListener('mousemove', e=>{
+  if(!drag) return;
+  const dx=e.clientX-drag.x, dy=e.clientY-drag.y;
+  drag.x=e.clientX; drag.y=e.clientY;
+  if(drag.pan) send('pan', dx, dy); else send('orbit', dx, dy);});
+img.addEventListener('wheel', e=>{
+  send('zoom', e.deltaY>0?1:-1, 0); e.preventDefault();});
+let inflight=false;
+async function send(kind, a, b){
+  if(inflight){cam_dirty=[kind,a,b]; return;}
+  inflight=true;
+  await fetch('/camera?kind='+kind+'&a='+a+'&b='+b);
+  inflight=false;
+  if(cam_dirty){const d=cam_dirty; cam_dirty=null; send(...d);}
+}
 </script></body></html>"""
 
 
@@ -73,15 +102,64 @@ def _slider_html(params):
 class ViewerState:
     """Owns the ProgressiveRenderer + a render thread; param updates
     swap the params pytree and reset the film (the reference's
-    change-detection restart, main.cpp:1666-1780)."""
+    change-detection restart, main.cpp:1666-1780).  Camera edits
+    (orbit/pan/zoom, main.cpp:1105-1129) rebuild the Camera pytree —
+    a traced input, so no recompile."""
 
-    def __init__(self, scene, params):
+    def __init__(self, scene, params, vfov=40.0, aperture=0.0):
+        import numpy as np
+
         from vpt_tpu.render.renderer import ProgressiveRenderer
         self.lock = threading.Lock()
         self.renderer = ProgressiveRenderer(scene, params)
         self.ms_per_spp = 0.0
         self.running = True
         self.thread = threading.Thread(target=self._loop, daemon=True)
+        # spherical orbit state around the scene pivot
+        self.vfov = vfov
+        self.aperture = aperture
+        cam = scene.camera
+        eye = np.asarray(cam.origin, np.float64)
+        self.pivot = eye - np.asarray(cam.w, np.float64) \
+            * float(cam.focus_dist)
+        rel = eye - self.pivot
+        self.dist = max(float(np.linalg.norm(rel)), 1e-3)
+        self.az = float(np.arctan2(rel[0], rel[2]))
+        self.el = float(np.arcsin(np.clip(rel[1] / self.dist, -1.0, 1.0)))
+
+    def _rebuild_camera(self):
+        import numpy as np
+
+        from vpt_tpu.core.camera import Camera
+        ce, se = np.cos(self.el), np.sin(self.el)
+        eye = self.pivot + self.dist * np.array(
+            [ce * np.sin(self.az), se, ce * np.cos(self.az)])
+        cam = Camera.make(eye, self.pivot, vfov=self.vfov,
+                          aspect=self.renderer.params.width
+                          / self.renderer.params.height,
+                          aperture=self.aperture)
+        with self.lock:
+            self.renderer.scene = dataclasses.replace(
+                self.renderer.scene, camera=cam)
+            self.renderer.reset()
+
+    def camera_event(self, kind, a, b):
+        import numpy as np
+        if kind == "orbit":
+            self.az -= a * 0.01
+            self.el = float(np.clip(self.el + b * 0.01, -1.55, 1.55))
+        elif kind == "pan":
+            cam = self.renderer.scene.camera
+            scale = self.dist * 0.002
+            self.pivot = (self.pivot
+                          - np.asarray(cam.u, np.float64) * (a * scale)
+                          + np.asarray(cam.v, np.float64) * (b * scale))
+        elif kind == "zoom":
+            self.dist = float(np.clip(self.dist * (1.1 if a > 0 else 1 / 1.1),
+                                      1e-3, 1e6))
+        else:
+            raise KeyError(kind)
+        self._rebuild_camera()
 
     def start(self):
         self.thread.start()
@@ -162,6 +240,11 @@ def serve(scene, params, host="127.0.0.1", port=8787, open_browser=False):
             elif u.path == "/set":
                 q = parse_qs(u.query)
                 state.set_param(q["name"][0], q["value"][0])
+                self._send(b"ok", "text/plain")
+            elif u.path == "/camera":
+                q = parse_qs(u.query)
+                state.camera_event(q["kind"][0], float(q["a"][0]),
+                                   float(q["b"][0]))
                 self._send(b"ok", "text/plain")
             elif u.path == "/reset":
                 state.reset()
