@@ -267,16 +267,21 @@ def attach_sky_cdf(scene: Scene, azimuth=150.0, elevation=30.0,
 
 
 def attach_env_map(scene: Scene, env_map: np.ndarray,
-                   importance_sample: bool = True) -> Scene:
+                   importance_sample: bool = True,
+                   full_res_cdf: bool = False) -> Scene:
     """Attach an equirect HDR environment (create_environment,
-    main.cpp:945-978) and optionally its importance CDF."""
+    main.cpp:945-978) and optionally its importance CDF.
+
+    full_res_cdf=True builds the CDF at the map's native resolution
+    (exact importance distribution); default keeps the reference's
+    180^2 resample (main.cpp:664)."""
     import dataclasses
 
     env = jnp.asarray(env_map, jnp.float32)
     cdf = None
     if importance_sample:
-        from vpt_tpu.sky.cdf import build_envmap_cdf
-        cdf = build_envmap_cdf(env)
+        from vpt_tpu.sky.cdf import CDF_RES, build_envmap_cdf
+        cdf = build_envmap_cdf(env, res=None if full_res_cdf else CDF_RES)
     return dataclasses.replace(scene, env_map=env, env_cdf=cdf)
 
 
