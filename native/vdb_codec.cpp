@@ -5,11 +5,16 @@
 //   lz4_decompress_block : raw LZ4 block decode (c-blosc's codec)
 //   blosc_decompress     : full blosc1 chunk decode (header, block
 //                          splits, byte-unshuffle)
+//   vdb_decode_leaves    : the whole leaf-buffer stream of one grid
+//                          (masks + readCompressedValues per leaf,
+//                          Compression.h semantics) — drops the
+//                          per-leaf Python overhead on big VDBs
 //
 // Build: make -C native   (produces native/build/libvdb_codec.so)
 
 #include <cstdint>
 #include <cstring>
+#include <zlib.h>
 
 extern "C" {
 
@@ -158,6 +163,239 @@ int blosc_decompress(const char* chunk, int chunk_len, char* dst,
         }
     }
     return (int)nbytes;
+}
+
+// ---------------------------------------------------------------------------
+// whole-grid leaf-buffer stream decode
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// io::COMPRESS_* flags (openvdb/io/Compression.h)
+constexpr int kCompressZip = 0x1;
+constexpr int kCompressActiveMask = 0x2;
+constexpr int kCompressBlosc = 0x4;
+// per-node mask metadata codes
+constexpr int kNoMaskAndMinusBg = 1;
+constexpr int kNoMaskAndOneInactiveVal = 2;
+constexpr int kMaskAndNoInactiveVals = 3;
+constexpr int kMaskAndOneInactiveVal = 4;
+constexpr int kMaskAndTwoInactiveVals = 5;
+constexpr int kNoMaskAndAllVals = 6;
+
+float half_to_float(uint16_t h) {
+    uint32_t sign = (uint32_t)(h >> 15) << 31;
+    uint32_t exp = (h >> 10) & 0x1F;
+    uint32_t man = h & 0x3FF;
+    uint32_t bits;
+    if (exp == 0) {
+        if (man == 0) {
+            bits = sign;
+        } else {  // subnormal
+            exp = 127 - 15 + 1;
+            while (!(man & 0x400)) {
+                man <<= 1;
+                --exp;
+            }
+            man &= 0x3FF;
+            bits = sign | (exp << 23) | (man << 13);
+        }
+    } else if (exp == 31) {
+        bits = sign | 0x7F800000u | (man << 13);
+    } else {
+        bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+    }
+    float f;
+    std::memcpy(&f, &bits, 4);
+    return f;
+}
+
+struct Cursor {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos;
+    bool ok = true;
+
+    const uint8_t* take(int64_t n) {
+        if (!ok || n < 0 || pos + n > len) {
+            ok = false;
+            return nullptr;
+        }
+        const uint8_t* p = data + pos;
+        pos += n;
+        return p;
+    }
+    int64_t i64() {
+        const uint8_t* p = take(8);
+        if (!p) return 0;
+        int64_t v;
+        std::memcpy(&v, p, 8);
+        return v;
+    }
+    int8_t i8() {
+        const uint8_t* p = take(1);
+        return p ? (int8_t)*p : 0;
+    }
+};
+
+// read count*ncomp scalars (half/float) through blosc/zip/raw into f32
+bool read_compressed_data(Cursor& cur, int64_t count_vals, int item_size,
+                          int compression, float* out, uint8_t* scratch,
+                          int64_t scratch_cap) {
+    int64_t nbytes = count_vals * item_size;
+    if (count_vals <= 0) {
+        if (compression & (kCompressBlosc | kCompressZip)) {
+            int64_t n = cur.i64();
+            if (n > 0)
+                cur.take(n);
+            else if (n < 0)
+                cur.take(-n);
+        }
+        return cur.ok;
+    }
+    const uint8_t* raw = nullptr;
+    if (compression & (kCompressBlosc | kCompressZip)) {
+        int64_t n = cur.i64();
+        if (!cur.ok) return false;
+        if (n <= 0) {
+            raw = cur.take(n < 0 ? -n : nbytes);
+        } else {
+            const uint8_t* comp = cur.take(n);
+            if (!comp) return false;
+            if (nbytes > scratch_cap) return false;
+            if (compression & kCompressBlosc) {
+                int r = blosc_decompress(
+                    reinterpret_cast<const char*>(comp), (int)n,
+                    reinterpret_cast<char*>(scratch), (int)nbytes);
+                if (r != (int)nbytes) return false;
+            } else {
+                uLongf dlen = (uLongf)nbytes;
+                if (uncompress(scratch, &dlen, comp, (uLong)n) != Z_OK
+                    || dlen != (uLongf)nbytes)
+                    return false;
+            }
+            raw = scratch;
+        }
+    } else {
+        raw = cur.take(nbytes);
+    }
+    if (!raw || !cur.ok) return false;
+    if (item_size == 2) {
+        const uint16_t* h = reinterpret_cast<const uint16_t*>(raw);
+        for (int64_t i = 0; i < count_vals; ++i) out[i] = half_to_float(h[i]);
+    } else {
+        std::memcpy(out, raw, nbytes);
+    }
+    return true;
+}
+
+}  // namespace
+
+// Decode the leaf-buffer stream of one 5_4_3 grid: for each leaf (in
+// topology order), the re-serialized value mask (file version >= 222)
+// and readCompressedValues into a dense (512, ncomp) f32 block.
+//
+//   value_masks : (n_leaves, 64) bytes — topology-order leaf masks
+//   out        : (n_leaves, 512, ncomp) f32
+//   background : (ncomp,) f32
+//   out_pos    : final stream position on success
+// Returns 0 ok; -1 stream error; -2 mask mismatch; -3 unsupported.
+int vdb_decode_leaves(const char* data, long long data_len, long long pos,
+                      int n_leaves, int compression, int ncomp,
+                      int from_half, int file_version,
+                      const float* background,
+                      const unsigned char* value_masks, float* out,
+                      long long* out_pos) {
+    if (ncomp < 1 || ncomp > 3) return -3;
+    Cursor cur{reinterpret_cast<const uint8_t*>(data), data_len, pos};
+    const int item = (from_half ? 2 : 4) * ncomp;
+    const int scalar = from_half ? 2 : 4;
+    // scratch covers the largest possible decode (512 values)
+    static thread_local uint8_t scratch[512 * 3 * 4];
+    float temp[512 * 3];
+    float inact0[3], inact1[3];
+
+    for (int li = 0; li < n_leaves; ++li) {
+        const uint8_t* vm = value_masks + (size_t)li * 64;
+        if (file_version >= 222) {
+            const uint8_t* bm = cur.take(64);
+            if (!bm) return -1;
+            if (std::memcmp(bm, vm, 64) != 0) return -2;
+        }
+        int metadata = kNoMaskAndAllVals;
+        if (file_version >= 222) metadata = cur.i8();
+        if (!cur.ok) return -1;
+
+        for (int c = 0; c < ncomp; ++c) {
+            inact0[c] = background[c];
+            inact1[c] = background[c];
+        }
+        if (metadata == kNoMaskAndMinusBg)
+            for (int c = 0; c < ncomp; ++c) inact0[c] = -background[c];
+        if (metadata == kNoMaskAndOneInactiveVal
+            || metadata == kMaskAndOneInactiveVal
+            || metadata == kMaskAndTwoInactiveVals) {
+            const uint8_t* p = cur.take(item);
+            if (!p) return -1;
+            for (int c = 0; c < ncomp; ++c)
+                inact0[c] = scalar == 2
+                    ? half_to_float(
+                          *reinterpret_cast<const uint16_t*>(p + 2 * c))
+                    : *reinterpret_cast<const float*>(p + 4 * c);
+        }
+        if (metadata == kMaskAndTwoInactiveVals) {
+            const uint8_t* p = cur.take(item);
+            if (!p) return -1;
+            for (int c = 0; c < ncomp; ++c)
+                inact1[c] = scalar == 2
+                    ? half_to_float(
+                          *reinterpret_cast<const uint16_t*>(p + 2 * c))
+                    : *reinterpret_cast<const float*>(p + 4 * c);
+        }
+        const uint8_t* selection = nullptr;
+        if (metadata == kMaskAndNoInactiveVals
+            || metadata == kMaskAndOneInactiveVal
+            || metadata == kMaskAndTwoInactiveVals) {
+            selection = cur.take(64);
+            if (!selection) return -1;
+        }
+
+        int64_t count = 512;
+        if ((compression & kCompressActiveMask)
+            && metadata != kNoMaskAndAllVals && file_version >= 222) {
+            count = 0;
+            for (int b = 0; b < 64; ++b)
+                count += __builtin_popcount(vm[b]);
+        }
+        if (!read_compressed_data(cur, count * ncomp, scalar, compression,
+                                  temp, scratch, sizeof(scratch)))
+            return -1;
+
+        float* dst = out + (size_t)li * 512 * ncomp;
+        if (count == 512) {
+            std::memcpy(dst, temp, 512 * ncomp * sizeof(float));
+        } else {
+            for (int v = 0; v < 512; ++v)
+                for (int c = 0; c < ncomp; ++c) dst[v * ncomp + c] = inact0[c];
+            if (selection) {
+                for (int v = 0; v < 512; ++v)
+                    if (selection[v >> 3] & (1u << (v & 7)))
+                        for (int c = 0; c < ncomp; ++c)
+                            dst[v * ncomp + c] = inact1[c];
+            }
+            int64_t k = 0;
+            for (int v = 0; v < 512; ++v) {
+                if (vm[v >> 3] & (1u << (v & 7))) {
+                    for (int c = 0; c < ncomp; ++c)
+                        dst[v * ncomp + c] = temp[k * ncomp + c];
+                    ++k;
+                }
+            }
+        }
+    }
+    if (!cur.ok) return -1;
+    *out_pos = cur.pos;
+    return 0;
 }
 
 }  // extern "C"

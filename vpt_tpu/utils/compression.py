@@ -55,6 +55,13 @@ def _load_native():
                 ctypes.c_char_p, ctypes.c_int,
                 ctypes.c_char_p, ctypes.c_int,
             ]
+            dll.vdb_decode_leaves.restype = ctypes.c_int
+            dll.vdb_decode_leaves.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
+            ]
             _native = dll
             return dll
         except (OSError, AttributeError):

@@ -330,6 +330,9 @@ class _TreeReader:
 
     # -- buffers -----------------------------------------------------------
     def read_buffers(self) -> list[np.ndarray]:
+        native = self._read_buffers_native()
+        if native is not None:
+            return native
         out = []
         for _origin, value_mask in self.leaves:
             # LeafNode::readBuffers: for file versions >= 222 the value
@@ -346,6 +349,38 @@ class _TreeReader:
             # values are whatever the file recorded — typically bg=0)
             out.append(vals)
         return out
+
+    def _read_buffers_native(self) -> list[np.ndarray] | None:
+        """Whole-stream leaf decode through the C++ codec
+        (native/vdb_codec.cpp vdb_decode_leaves) — one call instead of
+        a Python loop over (possibly hundreds of thousands of) leaves.
+        Returns None when the library is absent or declines the stream
+        (the Python path is the reference decoder either way)."""
+        from vpt_tpu.utils.compression import _load_native
+        dll = _load_native()
+        if not dll or not hasattr(dll, "vdb_decode_leaves") \
+                or not self.leaves:
+            return None
+        import ctypes
+        n = len(self.leaves)
+        masks = np.stack([np.packbits(vm, bitorder="little")
+                          for (_o, vm) in self.leaves])  # (n, 64) u8
+        out = np.empty((n, 512, self.ncomp), np.float32)
+        bg = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(self.background, np.float32),
+                            (self.ncomp,)))
+        end_pos = ctypes.c_longlong(0)
+        data = self.r.data
+        rc = dll.vdb_decode_leaves(
+            data, len(data), self.r.pos, n, self.compression, self.ncomp,
+            int(self.from_half), self.version,
+            bg.ctypes.data_as(ctypes.c_void_p),
+            masks.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p), ctypes.byref(end_pos))
+        if rc != 0:
+            return None
+        self.r.pos = int(end_pos.value)
+        return list(out)
 
     # -- dense rasterization -------------------------------------------------
     def to_dense(self, leaf_values: list[np.ndarray]):
