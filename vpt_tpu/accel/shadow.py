@@ -33,9 +33,14 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-# corner row layout: 8 density corners + majorant + 6 box extents
-BASE_COLS = 15
 MAX_CACHED_LIGHTS = 8
+
+
+def _tau_base(atlas) -> int:
+    """First tau column in the unified corner row (grid.unified_layout:
+    density+accel 15 | emission 8? | color 24? | tau...)."""
+    from vpt_tpu.volume.grid import unified_layout
+    return unified_layout(atlas)[2]
 
 
 def _trilinear_world(density_zyx, inv_xform, wpos):
@@ -268,9 +273,10 @@ def _sph_lerp_total(F_tot, u):
 def n_cached_lights(atlas) -> int:
     """Static count of cached point-light tau channels (row width)."""
     w = atlas.density_corners.shape[1]
-    if w <= BASE_COLS:
+    base = _tau_base(atlas)
+    if w <= base:
         return -1  # no cache at all (not even sun)
-    return (w - BASE_COLS) // 8 - 1
+    return (w - base) // 8 - 1
 
 
 def attach_shadow_cache(scene, azimuth: float, elevation: float,
@@ -316,7 +322,7 @@ def attach_shadow_cache(scene, azimuth: float, elevation: float,
         tau_l = point_tau_nodes(dens, xform, bmin, lpos[i])
         channels.append(_corner_pack_plain(tau_l))
 
-    base = np.asarray(atlas.density_corners)[:, :BASE_COLS]
+    base = np.asarray(atlas.density_corners)[:, :_tau_base(atlas)]
     rows = np.concatenate([base] + channels, axis=1).astype(np.float32)
     new_atlas = dataclasses.replace(atlas,
                                     density_corners=jnp.asarray(rows))

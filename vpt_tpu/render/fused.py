@@ -36,9 +36,10 @@ from vpt_tpu.core.phase import phase_eval, phase_sample
 from vpt_tpu.core.vecmath import (EPS, aabb_contains, aabb_intersect, cross,
                                   degree_to_cartesian, length, normalize,
                                   reflect, vec3)
-from vpt_tpu.render.tracking import (_sphere_block, _use_cells,
-                                     density_color_lut, scene_color,
-                                     scene_emission, unified_fetch,
+from vpt_tpu.render.tracking import (_emission_lut, _sphere_block,
+                                     _use_cells, density_color_lut,
+                                     scene_color, scene_emission,
+                                     unified_fetch, unified_fetch_full,
                                      vec3_param)
 
 P_SEEK, P_MARCH, P_SHADOW, P_EMIT, P_DONE = 0, 1, 2, 3, 4
@@ -272,11 +273,11 @@ def fused_direct(scene, params, key, origin, direction,
         cursor = pos + dirn * t_new[..., None]
 
         if banded_fetch:
-            fetched = unified_fetch(scene, params, cursor, dirn,
-                                    with_tau=cached_shadows, banded=True)
-            density, s_new, tbox_new = fetched[:3]
+            fr = unified_fetch_full(scene, params, cursor, dirn,
+                                    with_tau=cached_shadows)
+            density, s_new, tbox_new = fr.density, fr.s_box, fr.t_box
             if cached_shadows:
-                taus = fetched[3]
+                taus = fr.tau
         elif cached_shadows:
             density, s_new, taus = unified_fetch(scene, params, cursor,
                                                  dirn, with_tau=True)
@@ -329,17 +330,26 @@ def fused_direct(scene, params, key, origin, direction,
         tr = jnp.where(s_sampled, tr * factor, tr)
         tr_dead = shadowing & (jnp.abs(tr) < EPS)
 
-        # EMIT: accumulate emission (unscaled by beta, QUIRKS #5/#21)
+        # EMIT: accumulate emission (unscaled by beta, QUIRKS #5/#21).
+        # Single-instance scenes read the channel from THIS step's row
+        # (unified_fetch_full) — no second gather site.
         if scene.atlas.has_emission:
             e_sampled = sampled & emitting
-            em = scene_emission(scene, cursor, params)
+            if banded_fetch:
+                em = _emission_lut(scene, params, fr.emission_raw,
+                                   fr.emission_valid)
+            else:
+                em = scene_emission(scene, cursor, params)
             L = L + jnp.where(e_sampled[..., None], em, 0.0)
 
         cost = cost + walking.astype(jnp.int32)
 
         # ------------------------------------------ MARCH events -----
         # collision: shade + scatter, then chain into the sun shadow walk
-        cd = scene_color(scene, cursor)
+        if banded_fetch:
+            cd = fr.color if fr.color is not None else 1.0
+        else:
+            cd = scene_color(scene, cursor)
         lut = density_color_lut(scene, params, density)
         coll_val = (vec3_param(params.albedo) * cd * lut / ext
                     * params.energy_inject)

@@ -269,11 +269,41 @@ def unified_fetch(scene, params, pos, direction, with_tau: bool = False,
     return density, skip_dt
 
 
+from typing import NamedTuple, Optional
+
+
+class FetchResult(NamedTuple):
+    """Everything one unified corner-row gather carries (single-
+    instance fast path): fields are None when the channel is absent
+    (static — gates the consuming code at trace time)."""
+
+    density: object
+    s_box: object
+    t_box: object
+    tau: Optional[object] = None            # (..., 1+L) optical depths
+    emission_raw: Optional[object] = None   # pre-LUT emission channel
+    emission_valid: Optional[object] = None
+    color: Optional[object] = None          # (..., 3) Cd (0 outside box)
+
+
+def unified_fetch_full(scene, params, pos, direction,
+                       with_tau: bool = False) -> FetchResult:
+    """Single-instance banded fetch returning EVERY channel the row
+    carries — the fused engine's one-gather-per-step contract
+    (emission/color as separate fetches made those scenes 2-4x
+    slower)."""
+    return _unified_fetch_single(scene, params, pos, direction,
+                                 with_tau=with_tau, banded=True,
+                                 full=True)
+
+
 def _unified_fetch_single(scene, params, pos, direction,
-                          with_tau: bool = False, banded: bool = False):
+                          with_tau: bool = False, banded: bool = False,
+                          full: bool = False):
     """Single-instance fast path: one corner-row gather serves density,
     banded majorant, skip and (optionally) the cached shadow optical
-    depths (ARCHITECTURE 'corner-packed rows').
+    depths plus the emission/color channels (ARCHITECTURE
+    'corner-packed rows').
 
     banded=False: (density, skip_dt[, tau]) — skip_dt > 0 only for
     guaranteed-EMPTY regions (T_box == 0), the reference-engine walk
@@ -309,19 +339,35 @@ def _unified_fetch_single(scene, params, pos, direction,
     density = jnp.sum(rows[..., :8] * w8, axis=-1)
     density = jnp.where(inb, density, 0.0)
 
+    from vpt_tpu.volume.grid import unified_layout
+    em_off, col_off, tau_off = unified_layout(scene.atlas)
     tau = None
     if with_tau:
-        n_ch = (rows.shape[-1] - 15) // 8
+        n_ch = (rows.shape[-1] - tau_off) // 8
         if n_ch < 1:
             raise ValueError("shadow_mode='cached' but the scene has no "
                              "baked cache — call accel.shadow."
                              "attach_shadow_cache first")
         tau = jnp.stack(
-            [jnp.sum(rows[..., 15 + 8 * c:23 + 8 * c] * w8, axis=-1)
+            [jnp.sum(rows[..., tau_off + 8 * c:tau_off + 8 + 8 * c] * w8,
+                     axis=-1)
              for c in range(n_ch)], axis=-1)
+    emission_raw = emission_valid = color = None
+    if full and em_off >= 0:
+        emission_raw = jnp.sum(rows[..., em_off:em_off + 8] * w8, axis=-1)
+        emission_valid = inb
+    if full and col_off >= 0:
+        crows = rows[..., col_off:col_off + 24].reshape(
+            rows.shape[:-1] + (8, 3))
+        color = jnp.sum(crows * w8[..., None], axis=-2)
+        color = jnp.where(inb[..., None], color, 0.0)
 
     if not params.use_majorant:
         zero = jnp.zeros_like(density)
+        if full:
+            return FetchResult(density, zero,
+                               jnp.full_like(density, scene.max_extinction),
+                               tau, emission_raw, emission_valid, color)
         if banded:
             out = (density, zero, jnp.full_like(density,
                                                 scene.max_extinction))
@@ -376,6 +422,9 @@ def _unified_fetch_single(scene, params, pos, direction,
         s_box = jnp.where(inb, jnp.maximum(t_exit, 0.0),
                           jnp.maximum(t_entry, 0.0))
         t_out = jnp.where(inb, t_box, 0.0)
+        if full:
+            return FetchResult(density, s_box, t_out, tau, emission_raw,
+                               emission_valid, color)
         return (density, s_box, t_out, tau) if with_tau \
             else (density, s_box, t_out)
     skip_dt = jnp.where(in_skip, skip_in, jnp.where(inb, 0.0, skip_out))

@@ -286,6 +286,19 @@ def _corner_pack(d_zyx: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(out.reshape(15, -1).T)
 
 
+def unified_layout(atlas) -> tuple[int, int, int]:
+    """Static column offsets inside the unified corner row:
+    (emission_off, color_off, tau_off); -1 when a channel is absent.
+    Layout: density+accel 15 | emission 8? | color 24? | tau 8*(1+L)?
+    (shadow-cache channels are appended by accel/shadow.py)."""
+    off = 15
+    em = off if atlas.has_emission else -1
+    off += 8 if atlas.has_emission else 0
+    col = off if atlas.has_color else -1
+    off += 24 if atlas.has_color else 0
+    return em, col, off
+
+
 def build_atlas(host_grids: list[HostGrid],
                 keep_raw_density: bool = True) -> VolumeAtlas:
     """Pack host grids into device atlases.
@@ -321,9 +334,36 @@ def build_atlas(host_grids: list[HostGrid],
                     else np.zeros((1,), np.float32))
         return np.concatenate(parts, axis=0)
 
-    corner_parts = [_corner_pack(g.density_zyx) for g in host_grids]
+    # unified corner rows: density+accel (15) [+ emission 8 when ANY
+    # grid has the channel] [+ color 24 likewise] — TPU row gathers
+    # cost the same at widths 8-128 (ARCHITECTURE), so the secondary
+    # channels ride the ONE per-step gather instead of adding
+    # serialized gather sites (emission made config-2 ~4x slower as a
+    # separate fetch; color cost config-3 a second site).  Grids
+    # lacking a channel get zeros (emission; gated by `valid`) /
+    # ones (color = WHITE, render_kernel.cu:911).
+    any_em = any(g.emission_zyx is not None for g in host_grids)
+    any_col = any(g.color_zyx is not None for g in host_grids)
+    corner_parts = []
+    for g in host_grids:
+        part = [_corner_pack(g.density_zyx)]
+        nvox = part[0].shape[0]
+        if any_em:
+            part.append(_corner_pack_plain(np.asarray(
+                g.emission_zyx, np.float32)) if g.emission_zyx is not None
+                else np.zeros((nvox, 8), np.float32))
+        if any_col:
+            if g.color_zyx is not None:
+                col = np.asarray(g.color_zyx, np.float32)
+                packed = np.stack([_corner_pack_plain(col[..., ch])
+                                   for ch in range(3)], axis=-1)
+                part.append(packed.reshape(-1, 24))
+            else:
+                part.append(np.ones((nvox, 24), np.float32))
+        corner_parts.append(np.concatenate(part, axis=1))
+    base_w = 15 + (8 if any_em else 0) + (24 if any_col else 0)
     corners = (np.concatenate(corner_parts, axis=0) if corner_parts
-               else np.zeros((1, 15), np.float32))
+               else np.zeros((1, base_w), np.float32))
     em_corner_parts = [_corner_pack_plain(np.asarray(g.emission_zyx,
                                                      np.float32))
                        for g in host_grids if g.emission_zyx is not None]
