@@ -107,3 +107,21 @@ def test_film_stays_tile_sharded(scene):
     shard_shape = sh.shard_shape(film.accum.shape)
     assert shard_shape[0] * shard_shape[1] < 16 * 16, (
         shard_shape, "film replicated on every device")
+
+
+def test_sharded_cached_shadows(scene):
+    """shadow_mode='cached' works through the sharded path: the baked
+    atlas replicates like any pytree and the means match the
+    single-device cached render."""
+    from vpt_tpu.accel.shadow import attach_shadow_cache
+    cscene = attach_shadow_cache(scene, azimuth=150.0, elevation=30.0)
+    p = _params().replace(shadow_mode="cached")
+    mesh = make_mesh(2, 4)
+    film_sh = render_sharded(replicate_scene(cscene, mesh), p, 8, mesh)
+    from vpt_tpu.render.renderer import ProgressiveRenderer
+    film_1 = ProgressiveRenderer(cscene, p).render(8)
+    a = np.asarray(film_sh.accum)
+    b = np.asarray(film_1.accum)
+    assert np.isfinite(a).all()
+    assert a.mean() > 0
+    assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-9) < 0.25

@@ -133,3 +133,32 @@ def test_cached_light_count_check(lit_scene):
             no_lights,
             RenderParams(engine="fused", shadow_mode="cached",
                          **BASE)).render(1)
+
+
+def test_cached_anisotropic_transform():
+    """The bake handles anisotropic instance transforms (dragon.vdb's
+    voxels are non-uniform): cached vs tracked means agree on a blob
+    with per-axis scales."""
+    g = _blob_grid(n=24, voxel=0.2)
+    g = dataclasses.replace(
+        g, transform=np.diag([0.12, 0.2, 0.3, 1.0]), voxel_size=0.2)
+    lights = PointLights.make([[1.0, 3.0, 4.0]], [[1.0, 1.0, 1.0]], [40.0])
+    s = build_scene([g], lights=lights)
+    c = (np.asarray(s.root_pmin) + np.asarray(s.root_pmax)) / 2
+    cam = Camera.make(c + np.array([0.0, 0.5, 6.0]), c, vfov=40.0,
+                      aspect=1.0)
+    s = dataclasses.replace(s, camera=cam)
+    base = dict(width=24, height=24, ray_depth=5, max_track_steps=96,
+                max_fused_steps=512,
+                environment_type=int(Environment.BLACK),
+                azimuth=70.0, elevation=25.0)
+    tracked = ProgressiveRenderer(
+        s, RenderParams(engine="fused", **base)).render(24)
+    cs = attach_shadow_cache(s, azimuth=70.0, elevation=25.0)
+    cached = ProgressiveRenderer(
+        cs, RenderParams(engine="fused", shadow_mode="cached",
+                         **base)).render(24)
+    a = np.asarray(tracked.accum)
+    b = np.asarray(cached.accum)
+    assert a.mean() > 0
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())

@@ -95,6 +95,8 @@ def build_parser():
                    default=None)
     v.add_argument("--light", nargs=7, type=float, action="append",
                    metavar="V", default=None)
+    v.add_argument("--shadow-mode", choices=["tracked", "cached"],
+                   default="tracked")
     v.add_argument("--port", type=int, default=8787)
     v.add_argument("--cpu", action="store_true")
     v.add_argument("--open", action="store_true", help="open a browser")
@@ -265,7 +267,13 @@ def cmd_view(args):
                     constant=Environment.CONSTANT)[env_name]
     params = RenderParams(width=args.width, height=args.height,
                           ray_depth=args.ray_depth,
-                          environment_type=int(env_type))
+                          environment_type=int(env_type),
+                          shadow_mode=getattr(args, "shadow_mode",
+                                              "tracked"))
+    if params.shadow_mode == "cached":
+        from vpt_tpu.accel.shadow import attach_shadow_cache
+        scene = attach_shadow_cache(scene, azimuth=params.azimuth,
+                                    elevation=params.elevation)
     from vpt_tpu.app.viewer import serve
     serve(scene, params, port=args.port, open_browser=args.open)
 

@@ -182,6 +182,16 @@ class ViewerState:
         with self.lock:
             self.renderer.params = self.renderer.params.replace(
                 **{name: float(value)})
+            if (name in ("azimuth", "elevation")
+                    and self.renderer.params.shadow_mode == "cached"):
+                # the sun-tau bake is directional: re-bake on sun moves
+                # (the reference rebuilds its CPU sky CDF the same way,
+                # main.cpp:1702-1705)
+                from vpt_tpu.accel.shadow import attach_shadow_cache
+                self.renderer.scene = attach_shadow_cache(
+                    self.renderer.scene,
+                    azimuth=float(self.renderer.params.azimuth),
+                    elevation=float(self.renderer.params.elevation))
             self.renderer.reset()
 
     def reset(self):
