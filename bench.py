@@ -65,7 +65,12 @@ def main():
         return dataclasses.replace(scene, camera=cam)
 
     def measure(scene, params, label):
-        """(ms/spp, Mrays/s, trunc_frac) with compile excluded."""
+        """(ms/spp, Mrays/s, trunc_frac) with compile excluded.
+
+        Timed in 4 groups, reporting the BEST group: the remote-TPU
+        tunnel occasionally stalls for seconds (measured up to 600x
+        outliers with identical HLO — tools/probe_hlo.py), which would
+        otherwise poison a single mean."""
         film = Film.zeros(params.height, params.width)
         it = 0
         t0 = time.time()
@@ -74,14 +79,18 @@ def main():
             it += 1
         jax.block_until_ready(film.accum)
         _log(f"# [{label}] warmup (incl. compile): {time.time()-t0:.1f}s")
-        t0 = time.time()
-        for _ in range(ITERS):
-            film = render_step(scene, params, film, jnp.uint32(it))
-            it += 1
-        # force real completion: fetch a scalar (block_until_ready can
-        # return early through the remote-TPU tunnel)
-        float(film.accum.sum())
-        dt = (time.time() - t0) / ITERS
+        group = max(ITERS // 4, 1)
+        best = float("inf")
+        for _g in range(4):
+            t0 = time.time()
+            for _ in range(group):
+                film = render_step(scene, params, film, jnp.uint32(it))
+                it += 1
+            # force real completion: fetch a scalar (block_until_ready
+            # can return early through the remote-TPU tunnel)
+            float(film.accum.sum())
+            best = min(best, (time.time() - t0) / group)
+        dt = best
         mrays = params.width * params.height / dt / 1e6
         trunc = -1.0
         if params.engine == "fused":
