@@ -149,11 +149,34 @@ def main():
 
     # ---- config 1: dragon.vdb, one point light, no atmosphere ----------
     dragon_scene = None
+    gather_rate_ns = None
     if want("config1_dragon") or want("north_star"):
         lights = PointLights.make([[5.0, 8.0, 12.0]], [[1.0, 1.0, 1.0]],
                                   [300.0])
         dragon_scene = load_vdb_scene("/root/reference/assets/dragon.vdb",
                                       lights=lights)
+        # weather calibration: the remote TPU's serialized-gather rate
+        # varies 4.5-6.5+ ns/lane-iteration across sessions with
+        # IDENTICAL programs (ARCHITECTURE 'measurement health
+        # warning').  A fixed-iteration fori run isolates it so each
+        # bench records the day's rate next to its throughput.
+        cal_scene = aim_camera(dragon_scene, 256, 256)
+        cal = RenderParams(environment_type=int(Environment.BLACK),
+                           **{**base_kw, "width": 256, "height": 256,
+                              "fused_loop_mode": "fori",
+                              "max_fused_steps": 32})
+        film = Film.zeros(256, 256)
+        for w in range(2):
+            film = render_step(cal_scene, cal, film, jnp.uint32(w))
+        float(film.accum.sum())
+        t0 = time.time()
+        for w in range(4):
+            film = render_step(cal_scene, cal, film, jnp.uint32(2 + w))
+        float(film.accum.sum())
+        lanes = 256 * 256 * 32  # tiles x iters x tile-size collapses
+        gather_rate_ns = (time.time() - t0) / 4 / lanes * 1e9
+        _log(f"# gather-rate calibration: {gather_rate_ns:.2f} "
+             "ns/lane-iteration")
     if want("config1_dragon"):
         scene = aim_camera(dragon_scene, W, H)
         params = RenderParams(environment_type=int(Environment.BLACK),
@@ -297,6 +320,8 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(primary / BASELINE_MRAYS, 4),
         "primary_shadow_mode": best.get("shadow_mode", "tracked"),
+        "gather_rate_ns_per_lane_iter": (round(gather_rate_ns, 2)
+                                         if gather_rate_ns else None),
         "scenarios": results,
         "north_star_1080p": north,
         "engine": ENGINE,

@@ -173,11 +173,28 @@ def build_majorant_grid(host_grids, instance_grid_ids, xforms,
     skip = ndimage.distance_transform_cdt(
         ~occ, metric="chessboard").astype(np.int32)
 
-    # guaranteed-empty BOX extents (see grid._empty_box_extents): rays
-    # grazing occupancy crawl the chebyshev cubes but fly whole slabs
-    from vpt_tpu.volume.grid import _empty_box_extents
-    ext = _empty_box_extents(occ)  # (6, R, R, R), -1 on occupied
-    packed = np.concatenate([grid_max.reshape(-1, 1),
+    # banded bounded-density BOX extents (grid._empty_box_extents per
+    # band, mirroring the single-instance corner rows): packed cols =
+    # [T_box, xm, ym, zm, xp, yp, zp] where T_box bounds the cell
+    # majorant throughout the box (0 = guaranteed empty).  Rays sample
+    # at the LOCAL bound inside the box (fused banded stepping) and
+    # fly whole empty slabs instead of crawling chebyshev cubes.
+    from vpt_tpu.volume.grid import BAND_DIVISORS, _empty_box_extents
+    gmax = float(grid_max.max()) if grid_max.size else 0.0
+    bands = [gmax * f for f in BAND_DIVISORS]
+    band_idx = np.zeros(grid_max.shape, np.int8)
+    for b, t in enumerate(bands):
+        band_idx[grid_max > t] = min(b + 1, len(bands) - 1)
+    t_box = np.zeros(grid_max.shape, np.float32)
+    ext = np.zeros((6,) + grid_max.shape, np.float32)
+    for b, t in enumerate(bands):
+        sel = band_idx == b
+        if not sel.any():
+            continue
+        eb = _empty_box_extents(grid_max > t, where=sel)
+        ext[:, sel] = eb[:, sel]
+        t_box[sel] = t
+    packed = np.concatenate([t_box.reshape(-1, 1),
                              ext.reshape(6, -1).T], axis=-1)
     cell_instances = None
     if build_instance_lists:
@@ -249,9 +266,9 @@ def empty_skip_t(major, root_pmin, root_pmax, pos, direction):
     """Distance a ray may advance from `pos` while provably staying in
     empty space (0 if the current cell is occupied).
 
-    Uses the precomputed guaranteed-empty box extents (packed cols
-    1:7, grid._empty_box_extents): return the exit distance of the
-    current cell's empty box.
+    Uses the precomputed bounded-density box extents (packed cols
+    [T_box, ext 1:7]): empty iff T_box == 0; return the exit distance
+    of the current cell's box.
     """
     R = major.occupied.shape[0]
     extent = root_pmax - root_pmin
@@ -262,7 +279,7 @@ def empty_skip_t(major, root_pmin, root_pmax, pos, direction):
     (flat,) = jax.lax.optimization_barrier((flat,))
     row = jnp.take(major.packed, flat, axis=0)
     (row,) = jax.lax.optimization_barrier((row,))
-    empty = row[..., 1] >= 0.0
+    empty = row[..., 0] <= 0.0
     ext_m = jnp.maximum(row[..., 1:4], 0.0)
     ext_p = jnp.maximum(row[..., 4:7], 0.0)
     cube_min = root_pmin + (ci.astype(jnp.float32) - ext_m) * cs

@@ -109,10 +109,11 @@ def fused_direct(scene, params, key, origin, direction,
     # STATIC switch: it reshapes the trace.
     cached_shadows = (params.shadow_mode == "cached"
                       and scene.instances.count == 1)
-    # banded-majorant stepping rides the single-instance corner row;
-    # multi-instance scenes keep the empty-box-only (T=0) semantics
-    banded_fetch = (scene.instances.count == 1 and not _use_cells(scene)
-                    and params.use_majorant)
+    # single-instance scenes fetch EVERY channel from the unified
+    # corner row (unified_fetch_full); multi-instance scenes get the
+    # same banded (density, s_box, T_box) contract from the majorant
+    # cell grid's packed rows
+    full_fetch = scene.instances.count == 1 and not _use_cells(scene)
     if cached_shadows:
         from vpt_tpu.accel.shadow import n_cached_lights
         n_ch = n_cached_lights(scene.atlas)
@@ -272,19 +273,15 @@ def fused_direct(scene, params, key, origin, direction,
         exited = walking & (t_new >= dist)
         cursor = pos + dirn * t_new[..., None]
 
-        if banded_fetch:
+        if full_fetch:
             fr = unified_fetch_full(scene, params, cursor, dirn,
                                     with_tau=cached_shadows)
             density, s_new, tbox_new = fr.density, fr.s_box, fr.t_box
             if cached_shadows:
                 taus = fr.tau
-        elif cached_shadows:
-            density, s_new, taus = unified_fetch(scene, params, cursor,
-                                                 dirn, with_tau=True)
-            tbox_new = jnp.zeros_like(s_new)
         else:
-            density, s_new = unified_fetch(scene, params, cursor, dirn)
-            tbox_new = jnp.zeros_like(s_new)
+            density, s_new, tbox_new = unified_fetch(scene, params, cursor,
+                                                     dirn, banded=True)
         s_old, t_old = skip, tbox   # the box the step was DRAWN in
         skip = jnp.where(walking, jnp.where(exited, 0.0, s_new), skip)
         tbox = jnp.where(walking, jnp.where(exited, 0.0, tbox_new), tbox)
@@ -335,7 +332,7 @@ def fused_direct(scene, params, key, origin, direction,
         # (unified_fetch_full) — no second gather site.
         if scene.atlas.has_emission:
             e_sampled = sampled & emitting
-            if banded_fetch:
+            if full_fetch:
                 em = _emission_lut(scene, params, fr.emission_raw,
                                    fr.emission_valid)
             else:
@@ -346,7 +343,7 @@ def fused_direct(scene, params, key, origin, direction,
 
         # ------------------------------------------ MARCH events -----
         # collision: shade + scatter, then chain into the sun shadow walk
-        if banded_fetch:
+        if full_fetch:
             cd = fr.color if fr.color is not None else 1.0
         else:
             cd = scene_color(scene, cursor)

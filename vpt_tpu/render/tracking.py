@@ -122,15 +122,27 @@ def _use_cells(scene) -> bool:
 
 
 def _cell_rows(scene, pos):
-    """(slot_valid (...,K), packed rows (...,K,24)) for pos's cell."""
+    """(slot_valid (...,K), packed rows (...,K,24)) for pos's cell.
+
+    The K per-slot instance-METADATA fetches are one-hot MXU picks,
+    not gathers: serialized in-loop gathers cost ~5-6 ns/lane each, so
+    K=6 metadata gathers would double a step's gather bill, while a
+    (..., K, N) @ (N, 24) matmul is nearly free at N <= ~4096.  Above
+    that the gather path wins (one-hot FLOPs scale with N)."""
     flat = _cell_flat_index(scene, pos)
     (flat,) = jax.lax.optimization_barrier((flat,))
     ids = jnp.take(scene.majorant.cell_instances, flat, axis=0)  # (...,K)
     (ids,) = jax.lax.optimization_barrier((ids,))
     valid = ids >= 0
-    rows = jnp.take(scene.instances.packed_rows, jnp.maximum(ids, 0),
-                    axis=0)  # (...,K,24)
-    (rows,) = jax.lax.optimization_barrier((rows,))
+    n_inst = scene.instances.packed_rows.shape[0]
+    if n_inst <= 4096:
+        oh = jax.nn.one_hot(jnp.maximum(ids, 0), n_inst,
+                            dtype=jnp.float32)
+        rows = oh @ scene.instances.packed_rows  # (...,K,24)
+    else:
+        rows = jnp.take(scene.instances.packed_rows, jnp.maximum(ids, 0),
+                        axis=0)  # (...,K,24)
+        (rows,) = jax.lax.optimization_barrier((rows,))
     return valid, rows
 
 
@@ -253,12 +265,24 @@ def unified_fetch(scene, params, pos, direction, with_tau: bool = False,
     if scene.instances.count == 1 and not _use_cells(scene):
         return _unified_fetch_single(scene, params, pos, direction,
                                      with_tau, banded)
-    if with_tau or banded:
-        raise ValueError("shadow cache / banded stepping require a "
-                         "single-instance scene")
+    if with_tau:
+        raise ValueError("shadow cache requires a single-instance scene")
     density = scene_density(scene, pos)
     if not params.use_majorant or scene.majorant is None:
-        return density, jnp.zeros_like(density)
+        zero = jnp.zeros_like(density)
+        if banded:
+            return density, zero, jnp.full_like(density,
+                                                scene.max_extinction)
+        return density, zero
+    if banded:
+        # multi-instance banded fetch: the majorant cell grid's packed
+        # row carries [T_box, box extents] (accel/majorant.py) — same
+        # contract as the single-instance corner row
+        from vpt_tpu.accel.majorant import local_majorant_query
+        t_box, s_box = local_majorant_query(
+            scene.majorant, scene.root_pmin, scene.root_pmax, pos,
+            direction)
+        return density, s_box, t_box
     from vpt_tpu.accel.majorant import empty_skip_t
     empty, t_exit = empty_skip_t(scene.majorant, scene.root_pmin,
                                  scene.root_pmax, pos, direction)
