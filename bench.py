@@ -248,6 +248,17 @@ def main():
         results["config4_atmosphere"] = dict(ms_per_spp=round(ms, 2),
                                              mrays_per_s=round(mr, 3),
                                              trunc_frac=tr)
+        if ENGINE == "fused":
+            # baked-sky variant: the full per-ray Bruneton terminal
+            # evaluation measured ~80% of this scenario's wall time;
+            # the equirect cache replaces it with one bilinear fetch
+            # (accuracy bounded by tests/test_bruneton.py)
+            from vpt_tpu.scene.scene import attach_sky_cache
+            bscene = attach_sky_cache(scene, azimuth=150.0, elevation=30.0)
+            ms, mr, tr = measure(bscene, params, "config4_baked_sky")
+            results["config4_baked_sky"] = dict(
+                ms_per_spp=round(ms, 2), mrays_per_s=round(mr, 3),
+                trunc_frac=tr, sky="baked")
 
     # ---- config 5: instanced cloudscape (thousands of instances) -------
     if want("config5_cloudscape"):

@@ -226,3 +226,36 @@ def test_sample_atmosphere_image():
     assert np.isfinite(img).all()
     assert (img >= 0).all() and (img <= 1.0).all()
     assert img.max() > 0.05
+
+
+def test_sky_cache_matches_direct(atm):
+    """Baked equirect sky cache vs the direct per-ray evaluation:
+    agreement over random directions away from the horizon band (the
+    ground/sky boundary is a hard edge bilinear smears over ~1 texel)."""
+    from vpt_tpu.sky.runtime import (Atmosphere, bake_sky_cache,
+                                     sample_atmosphere, sample_sky_cache)
+    params, luts = atm
+    atm = Atmosphere(params=params, luts=luts, dims=TINY)
+    anchor = jnp.array([0.0, 2.0, 0.0])
+    az, el = 140.0, 35.0
+    cache = bake_sky_cache(atm, anchor, az, el, height=128, width=256)
+    assert np.isfinite(np.asarray(cache)).all()
+
+    key = jax.random.PRNGKey(0)
+    d = jax.random.normal(key, (4000, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    direct = np.asarray(sample_atmosphere(
+        atm, jnp.broadcast_to(anchor, d.shape), d, az, el, atm.dims))
+    cached = np.asarray(sample_sky_cache(atm.params, cache, d, az, el))
+    dn = np.asarray(d)
+    # mask the horizon band and the sun-disc edge
+    horizon = np.abs(dn[:, 1]) < 0.08
+    sun = np.asarray(jnp.sum(
+        d * jnp.asarray([np.cos(np.deg2rad(el)) * np.cos(np.deg2rad(az)),
+                         np.sin(np.deg2rad(el)),
+                         np.cos(np.deg2rad(el)) * np.sin(np.deg2rad(az))]),
+        axis=-1)) > 0.995
+    m = ~horizon & ~sun
+    err = np.abs(cached[m] - direct[m]).mean()
+    scale = max(direct[m].mean(), 1e-6)
+    assert err / scale < 0.03, (err, scale)

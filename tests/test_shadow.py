@@ -162,3 +162,34 @@ def test_cached_anisotropic_transform():
     b = np.asarray(cached.accum)
     assert a.mean() > 0
     assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())
+
+
+def test_cached_multiple_lights():
+    """Per-light tau channel indexing: 3 point lights at distinct
+    positions, cached vs tracked means agree (exercises taus[...,1+i]
+    routing and the min(L,11)/L weighting)."""
+    g = _blob_grid(n=24)
+    lights = PointLights.make(
+        [[2.0, 4.0, 5.0], [-3.0, 2.0, 1.0], [0.0, 6.0, -2.0]],
+        [[1.0, 0.8, 0.6], [0.5, 0.7, 1.0], [0.9, 1.0, 0.9]],
+        [30.0, 45.0, 25.0])
+    s = build_scene([g], lights=lights)
+    c = (np.asarray(s.root_pmin) + np.asarray(s.root_pmax)) / 2
+    cam = Camera.make(c + np.array([0.0, 0.5, 7.0]), c, vfov=40.0,
+                      aspect=1.0)
+    s = dataclasses.replace(s, camera=cam)
+    base = dict(width=24, height=24, ray_depth=5, max_track_steps=96,
+                max_fused_steps=512,
+                environment_type=int(Environment.BLACK),
+                azimuth=100.0, elevation=35.0)
+    tracked = ProgressiveRenderer(
+        s, RenderParams(engine="fused", **base)).render(32)
+    cs = attach_shadow_cache(s, azimuth=100.0, elevation=35.0)
+    assert cs.atlas.density_corners.shape[1] == 15 + 8 * (1 + 3)
+    cached = ProgressiveRenderer(
+        cs, RenderParams(engine="fused", shadow_mode="cached",
+                         **base)).render(32)
+    a = np.asarray(tracked.accum)
+    b = np.asarray(cached.accum)
+    assert a.mean() > 0
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())

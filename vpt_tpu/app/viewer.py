@@ -182,16 +182,21 @@ class ViewerState:
         with self.lock:
             self.renderer.params = self.renderer.params.replace(
                 **{name: float(value)})
-            if (name in ("azimuth", "elevation")
-                    and self.renderer.params.shadow_mode == "cached"):
-                # the sun-tau bake is directional: re-bake on sun moves
-                # (the reference rebuilds its CPU sky CDF the same way,
+            if name in ("azimuth", "elevation"):
+                # directional bakes re-run on sun moves (the reference
+                # rebuilds its CPU sky CDF the same way,
                 # main.cpp:1702-1705)
-                from vpt_tpu.accel.shadow import attach_shadow_cache
-                self.renderer.scene = attach_shadow_cache(
-                    self.renderer.scene,
-                    azimuth=float(self.renderer.params.azimuth),
-                    elevation=float(self.renderer.params.elevation))
+                az = float(self.renderer.params.azimuth)
+                el = float(self.renderer.params.elevation)
+                if self.renderer.params.shadow_mode == "cached":
+                    from vpt_tpu.accel.shadow import attach_shadow_cache
+                    self.renderer.scene = attach_shadow_cache(
+                        self.renderer.scene, azimuth=az, elevation=el)
+                if getattr(self.renderer.scene, "sky_cache", None) \
+                        is not None:
+                    from vpt_tpu.scene.scene import attach_sky_cache
+                    self.renderer.scene = attach_sky_cache(
+                        self.renderer.scene, azimuth=az, elevation=el)
             self.renderer.reset()
 
     def reset(self):

@@ -90,6 +90,13 @@ class Scene:
     env_map: Optional[jax.Array]  # (H, W, 3) equirect radiance
     env_cdf: Optional[object]     # sky.cdf.EnvCDF tables (sky/env NEE)
     atmosphere: Optional[object] = None  # sky.runtime.Atmosphere (Bruneton)
+    # baked sky cache (sky.runtime.bake_sky_cache): (H, W, 6) equirect
+    # [radiance-without-sun-disc rgb | transmittance rgb], pre-tonemap.
+    # When present, the ATMOSPHERE terminal lookup becomes one bilinear
+    # fetch (the full per-ray Bruneton evaluation measured 80% of the
+    # planetary scenario's wall time).  Directional: re-bake on sun
+    # moves, like the shadow cache.
+    sky_cache: Optional[jax.Array] = None
 
 
 def _world_bounds(host: HostGrid, xform: np.ndarray):
@@ -283,6 +290,25 @@ def attach_env_map(scene: Scene, env_map: np.ndarray,
         from vpt_tpu.sky.cdf import CDF_RES, build_envmap_cdf
         cdf = build_envmap_cdf(env, res=None if full_res_cdf else CDF_RES)
     return dataclasses.replace(scene, env_map=env, env_cdf=cdf)
+
+
+def attach_sky_cache(scene: Scene, azimuth: float, elevation: float,
+                     height: int = 256, width: int = 512) -> Scene:
+    """Bake the attached Bruneton atmosphere into an equirect cache
+    anchored at the scene centre (sky.runtime.bake_sky_cache): the
+    terminal ATMOSPHERE lookup becomes one bilinear fetch instead of
+    the full per-ray LUT evaluation (~80% of the planetary scenario's
+    wall time).  Directional — re-bake when the sun moves."""
+    import dataclasses
+
+    if scene.atmosphere is None:
+        raise ValueError("attach_sky_cache needs an attached atmosphere "
+                         "(attach_atmosphere first)")
+    from vpt_tpu.sky.runtime import bake_sky_cache
+    centre = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+    cache = bake_sky_cache(scene.atmosphere, centre, azimuth, elevation,
+                           height, width)
+    return dataclasses.replace(scene, sky_cache=cache)
 
 
 def load_hdr_env_scene(hdr_path: str, **kw) -> Scene:

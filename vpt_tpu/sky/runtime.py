@@ -79,11 +79,12 @@ def make_atmosphere(dims: br.LutDims = br.LutDims(), cache_path=None,
     return Atmosphere(params=params, luts=luts, dims=dims)
 
 
-def sample_atmosphere(atm: Atmosphere, ray_pos, ray_dir, azimuth, elevation,
-                      dims: br.LutDims):
-    """render_kernel.cu:839-895: sky + ground + sun disc, tonemapped
-    with exposure/white-point (the reference bakes its tonemap into the
-    environment lookup)."""
+def _sample_atmosphere_pre(atm: Atmosphere, ray_pos, ray_dir, azimuth,
+                           elevation, dims: br.LutDims):
+    """render_kernel.cu:839-877 minus the sun disc and tonemap:
+    returns (pre-tonemap radiance, transmittance-to-space) — the
+    bakeable part (the disc is too small for an equirect texel and the
+    exposure curve uses DYNAMIC params)."""
     p = atm.params
     sun_direction = degree_to_cartesian(azimuth, elevation)
     earth_center = jnp.array([0.0, 1.0, 0.0], jnp.float32) * p.earth_center_y
@@ -116,26 +117,98 @@ def sample_atmosphere(atm: Atmosphere, ray_pos, ray_dir, azimuth, elevation,
         p, atm.luts, camera, gp, sun_direction, dims)
     ground_radiance = ground_radiance * trans_g + in_scatter_g * sky_k
 
-    # sky + sun disc
+    # sky (sun disc composed by the caller / _compose_sun_disc)
     radiance, trans = br.get_sky_radiance(p, atm.luts, camera, view,
                                           sun_direction, dims)
     radiance = radiance * sky_k
+
+    pre = jnp.where(hits_ground[..., None], ground_radiance, radiance)
+    trans = jnp.where(hits_ground[..., None], jnp.zeros_like(trans), trans)
+    return pre, trans
+
+
+def _compose_sun_disc(p, pre, trans, view, sun_direction):
+    """Add the analytic sun disc and apply the reference
+    exposure/white-point curve (render_kernel.cu:862-886)."""
+    lum = p.use_luminance != 0
+    sun_k = jnp.where(lum, p.sun_spectral_to_rgb, 1.0)
     sun_cos = jnp.sum(view * sun_direction, axis=-1)
     sun_disc = sun_cos > jnp.cos(p.sun_angular_radius)
-    radiance = radiance + jnp.where(
+    out = pre + jnp.where(
         sun_disc[..., None], trans * br.get_solar_radiance(p) * sun_k, 0.0)
-
-    out = jnp.where(hits_ground[..., None], ground_radiance, radiance)
-    # reference exposure/white-point curve (render_kernel.cu:880-886)
     exposure = jnp.where(p.use_luminance == 0, p.exposure,
                          p.exposure * 1e-5)
-    out = jnp.power(
+    return jnp.power(
         jnp.maximum(1.0 - jnp.exp(-out / p.white_point * exposure), 0.0),
         1.0 / 2.2)
-    return out
+
+
+def sample_atmosphere(atm: Atmosphere, ray_pos, ray_dir, azimuth,
+                      elevation, dims: br.LutDims):
+    """render_kernel.cu:839-895: sky + ground + sun disc, tonemapped
+    with exposure/white-point (the reference bakes its tonemap into
+    the environment lookup)."""
+    pre, trans = _sample_atmosphere_pre(atm, ray_pos, ray_dir, azimuth,
+                                        elevation, dims)
+    sun_direction = degree_to_cartesian(azimuth, elevation)
+    return _compose_sun_disc(atm.params, pre, trans, normalize(ray_dir),
+                             sun_direction)
+
+
+def bake_sky_cache(atm: Atmosphere, anchor_pos, azimuth, elevation,
+                   height: int = 256, width: int = 512):
+    """Bake the position-anchored sky into an equirect (H, W, 6) cache
+    [pre-tonemap radiance | transmittance].  The full per-ray Bruneton
+    evaluation measured ~80% of the planetary scenario's wall time;
+    the cache turns the terminal lookup into one bilinear fetch.
+    Valid for rays near `anchor_pos` (scene scale << planet scale) and
+    for THIS sun direction — re-bake on sun moves (the reference
+    rebuilds its CPU sky CDF on the same trigger, main.cpp:1702-1705).
+    """
+    th = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * jnp.pi
+    ph = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width \
+        * (2.0 * jnp.pi)
+    tg, pg = jnp.meshgrid(th, ph, indexing="ij")
+    st = jnp.sin(tg)
+    dirs = jnp.stack([st * jnp.cos(pg), jnp.cos(tg), st * jnp.sin(pg)],
+                     axis=-1).reshape(-1, 3)
+    pos = jnp.broadcast_to(jnp.asarray(anchor_pos, jnp.float32),
+                           dirs.shape)
+    pre, trans = _sample_atmosphere_pre(atm, pos, dirs, azimuth,
+                                        elevation, atm.dims)
+    return jnp.concatenate([pre, trans], axis=-1).reshape(height, width, 6)
+
+
+def sample_sky_cache(p, cache, ray_dir, azimuth, elevation):
+    """Bilinear equirect lookup of the baked cache + analytic sun disc
+    + the dynamic tonemap curve."""
+    view = normalize(ray_dir)
+    h, w = cache.shape[0], cache.shape[1]
+    theta = jnp.arccos(jnp.clip(view[..., 1], -1.0, 1.0))
+    phi = jnp.mod(jnp.arctan2(view[..., 2], view[..., 0]), 2.0 * jnp.pi)
+    y = jnp.clip(theta / jnp.pi * h - 0.5, 0.0, h - 1.0)
+    x = phi / (2.0 * jnp.pi) * w - 0.5
+    y0 = jnp.floor(y).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fy = y - y0
+    x0f = jnp.floor(x)
+    fx = x - x0f
+    x0 = jnp.mod(x0f.astype(jnp.int32), w)
+    x1 = jnp.mod(x0 + 1, w)
+    flat = cache.reshape(-1, 6)
+    v = (flat[y0 * w + x0] * ((1 - fy) * (1 - fx))[..., None]
+         + flat[y0 * w + x1] * ((1 - fy) * fx)[..., None]
+         + flat[y1 * w + x0] * (fy * (1 - fx))[..., None]
+         + flat[y1 * w + x1] * (fy * fx)[..., None])
+    sun_direction = degree_to_cartesian(azimuth, elevation)
+    return _compose_sun_disc(p, v[..., 0:3], v[..., 3:6], view,
+                             sun_direction)
 
 
 def sample_atmosphere_scene(scene, params, ray_pos, ray_dir):
     atm = scene.atmosphere
+    if getattr(scene, "sky_cache", None) is not None:
+        return sample_sky_cache(atm.params, scene.sky_cache, ray_dir,
+                                params.azimuth, params.elevation)
     return sample_atmosphere(atm, ray_pos, ray_dir, params.azimuth,
                              params.elevation, atm.dims)
