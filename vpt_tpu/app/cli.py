@@ -82,6 +82,10 @@ def build_parser():
                    help="CIE white balance (with --atmosphere)")
     r.add_argument("--atmosphere-cache", default="out/atmosphere_luts.npz",
                    help="npz LUT cache path (with --atmosphere)")
+    r.add_argument("--bake-sky", action="store_true",
+                   help="bake the atmosphere to an equirect cache "
+                        "(one-fetch terminal lookups, ~4.6x on "
+                        "atmosphere scenes; re-baked per sun position)")
 
     v = sub.add_parser("view", help="interactive progressive viewer "
                        "(web page with live parameter controls)")
@@ -180,6 +184,11 @@ def cmd_render(args):
         scene = attach_atmosphere(scene, atmosphere=atm)
         log(f"atmosphere LUTs ready in {time.time()-t1:.1f}s "
             f"(luminance={args.luminance})")
+        if getattr(args, "bake_sky", False):
+            from vpt_tpu.scene.scene import attach_sky_cache
+            scene = attach_sky_cache(scene, azimuth=args.azimuth,
+                                     elevation=args.elevation)
+            log("sky cache baked")
 
     params = RenderParams(
         width=args.width, height=args.height, ray_depth=args.ray_depth,
