@@ -100,6 +100,15 @@ def scenes():
     out["c5_instanced"] = (
         s, RenderParams(environment_type=int(Environment.CONSTANT),
                         **BASE_KW))
+
+    # cached-shadow variant of config 1 (accel/shadow.py): pins the
+    # precomputed-tau NEE path into the regression corpus
+    if os.path.exists(DRAGON):
+        from vpt_tpu.accel.shadow import attach_shadow_cache
+        base = out["c1_dragon_pointlight"]
+        cs = attach_shadow_cache(base[0], azimuth=150.0, elevation=30.0)
+        out["c1_cached_shadows"] = (
+            cs, base[1].replace(shadow_mode="cached"))
     return out
 
 
@@ -112,7 +121,7 @@ def render(scene, params, engine: str, spp: int = SPP) -> np.ndarray:
 
 ENGINES = {  # engine -> scenes it is validated on
     "fused": ["c1_dragon_pointlight", "c2_emission", "c3_hdri_color",
-              "c4_procedural_sky", "c5_instanced"],
+              "c4_procedural_sky", "c5_instanced", "c1_cached_shadows"],
     "reference": ["c1_dragon_pointlight", "c2_emission", "c5_instanced"],
     "march": ["c1_dragon_pointlight", "c2_emission"],
 }
