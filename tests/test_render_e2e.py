@@ -106,3 +106,39 @@ def test_emission_off_adds_nothing(dragon_scene):
     p2 = p.replace(emission_scale=0.0)
     f1 = ProgressiveRenderer(dragon_scene, p2).render(1)
     np.testing.assert_array_equal(np.asarray(f0.accum), np.asarray(f1.accum))
+
+
+def test_bfloat16_corner_table():
+    """corner_dtype='bfloat16' halves the unified corner table while
+    keeping the safety guarantees (T_box rounds up, box extents round
+    down) — render means agree with the f32 table within bf16's ~0.4%
+    data precision + MC noise."""
+    import dataclasses
+
+    import ml_dtypes
+
+    from tests.test_scenarios import _blob_grid, _cam_for
+    from vpt_tpu.render.renderer import ProgressiveRenderer
+    from vpt_tpu.scene.scene import build_scene
+
+    g = _blob_grid()
+    base = dict(width=32, height=32, ray_depth=4, max_track_steps=64,
+                max_fused_steps=512,
+                environment_type=int(Environment.CONSTANT))
+    means = {}
+    for dt in ("float32", "bfloat16"):
+        s = build_scene([g], corner_dtype=dt)
+        s = dataclasses.replace(s, camera=_cam_for(s, 32, 32))
+        if dt == "bfloat16":
+            assert s.atlas.density_corners.dtype == ml_dtypes.bfloat16
+            # conservative rounding: T_box never below, extents never
+            # above their f32 counterparts
+            f32 = np.asarray(build_scene([g]).atlas.density_corners)
+            b = np.asarray(s.atlas.density_corners).astype(np.float32)
+            assert (b[:, 8] >= f32[:, 8] - 1e-12).all()
+            assert (b[:, 9:15] <= f32[:, 9:15] + 1e-12).all()
+        film = ProgressiveRenderer(
+            s, RenderParams(engine="fused", **base)).render(16)
+        means[dt] = float(np.asarray(film.accum).mean())
+    rel = abs(means["bfloat16"] - means["float32"]) / means["float32"]
+    assert rel < 0.03, means

@@ -322,8 +322,10 @@ def attach_shadow_cache(scene, azimuth: float, elevation: float,
         tau_l = point_tau_nodes(dens, xform, bmin, lpos[i])
         channels.append(_corner_pack_plain(tau_l))
 
+    dtype = np.asarray(atlas.density_corners).dtype
     base = np.asarray(atlas.density_corners)[:, :_tau_base(atlas)]
-    rows = np.concatenate([base] + channels, axis=1).astype(np.float32)
+    rows = np.concatenate(
+        [base] + [c.astype(dtype) for c in channels], axis=1)
     new_atlas = dataclasses.replace(atlas,
                                     density_corners=jnp.asarray(rows))
     return dataclasses.replace(scene, atlas=new_atlas)

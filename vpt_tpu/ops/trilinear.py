@@ -95,6 +95,7 @@ def sample_density(atlas: VolumeAtlas, grid_id, index_pos):
     (flat,) = jax.lax.optimization_barrier((flat,))
     rows = jnp.take(atlas.density_corners, flat, axis=0)  # (..., 8)
     (rows,) = jax.lax.optimization_barrier((rows,))
+    rows = rows.astype(jnp.float32)
     fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
     wx = jnp.stack([1.0 - fx, fx], axis=-1)
     wy = jnp.stack([1.0 - fy, fy], axis=-1)

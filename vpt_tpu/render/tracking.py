@@ -79,6 +79,7 @@ def _density_from_row(atlas, row, pos):
     (flat,) = jax.lax.optimization_barrier((flat,))
     rows = jnp.take(atlas.density_corners, flat, axis=0)
     (rows,) = jax.lax.optimization_barrier((rows,))
+    rows = rows.astype(jnp.float32)
     val = jnp.sum(rows[..., :8] * _trilerp_weights(frac), axis=-1)
     return jnp.where(inb, val, 0.0)
 
@@ -359,6 +360,7 @@ def _unified_fetch_single(scene, params, pos, direction,
     (flat,) = jax.lax.optimization_barrier((flat,))
     rows = jnp.take(scene.atlas.density_corners, flat, axis=0)  # (...,15+)
     (rows,) = jax.lax.optimization_barrier((rows,))
+    rows = rows.astype(jnp.float32)
     w8 = _trilerp_weights(frac)
     density = jnp.sum(rows[..., :8] * w8, axis=-1)
     density = jnp.where(inb, density, 0.0)

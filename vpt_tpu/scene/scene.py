@@ -152,6 +152,7 @@ def build_scene(
     majorant_resolution: int = 64,
     instance_list_threshold: int = 8,
     keep_raw_density: bool = True,
+    corner_dtype: str = "float32",
 ) -> Scene:
     """Assemble a device Scene.
 
@@ -183,7 +184,8 @@ def build_scene(
     max_ext = max(host_grids[int(g)].max_density for g in instance_grid_ids)
     min_ext = min(host_grids[int(g)].min_density for g in instance_grid_ids)
 
-    atlas = build_atlas(host_grids, keep_raw_density=keep_raw_density)
+    atlas = build_atlas(host_grids, keep_raw_density=keep_raw_density,
+                        corner_dtype=corner_dtype)
     if emission_lut is None or density_color_lut is None:
         from vpt_tpu.scene.assets import (load_blackbody_lut,
                                           load_density_color_lut)

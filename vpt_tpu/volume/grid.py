@@ -299,15 +299,48 @@ def unified_layout(atlas) -> tuple[int, int, int]:
     return em, col, off
 
 
+def _bf16_conservative_up(a: np.ndarray) -> np.ndarray:
+    """Round to bfloat16 never-below the input (majorants/extents must
+    stay conservative: a bound that rounds DOWN under-estimates and
+    biases the tracking; an extent that rounds UP over-claims empty
+    space).  Implemented by nearest-round then bumping low results one
+    ulp up."""
+    import ml_dtypes
+    b = a.astype(ml_dtypes.bfloat16)
+    low = b.astype(np.float32) < a
+    up = np.nextafter(b.astype(np.float32), np.inf).astype(ml_dtypes.bfloat16)
+    return np.where(low, up, b)
+
+
+def _bf16_conservative_down(a: np.ndarray) -> np.ndarray:
+    """Round to bfloat16 never-above the input (box extents must not
+    grow)."""
+    import ml_dtypes
+    b = a.astype(ml_dtypes.bfloat16)
+    high = b.astype(np.float32) > a
+    dn = np.nextafter(b.astype(np.float32),
+                      -np.inf).astype(ml_dtypes.bfloat16)
+    return np.where(high, dn, b)
+
+
 def build_atlas(host_grids: list[HostGrid],
-                keep_raw_density: bool = True) -> VolumeAtlas:
+                keep_raw_density: bool = True,
+                corner_dtype: str = "float32") -> VolumeAtlas:
     """Pack host grids into device atlases.
 
     ``keep_raw_density=False`` drops the raw (V,) scalar copy — the
     corner table alone serves the render engines; only the 8-tap
     validation sampler (trilinear.sample_density_8tap) needs the raw
     atlas.  Saves ~1/11 of the density memory footprint on
-    production-size volumes."""
+    production-size volumes.
+
+    ``corner_dtype="bfloat16"`` halves the unified corner table (the
+    dominant footprint at ~15-63 f32/voxel).  Data channels round to
+    nearest (~0.4% relative); the SAFETY channels keep their
+    guarantees: T_box rounds conservatively UP (a bound may never
+    under-state the density it covers) and box extents round DOWN (an
+    empty box may never over-claim).  Gather cost is unchanged
+    (serialized per index, width/dtype-flat)."""
     dens_parts, emis_parts, col_parts = [], [], []
     offs, eoffs, coffs = [], [], []
     dcur = ecur = ccur = 0
@@ -364,6 +397,14 @@ def build_atlas(host_grids: list[HostGrid],
     base_w = 15 + (8 if any_em else 0) + (24 if any_col else 0)
     corners = (np.concatenate(corner_parts, axis=0) if corner_parts
                else np.zeros((1, base_w), np.float32))
+    if corner_dtype == "bfloat16":
+        import ml_dtypes
+        out16 = corners.astype(ml_dtypes.bfloat16)
+        out16[:, 8] = _bf16_conservative_up(corners[:, 8])
+        out16[:, 9:15] = _bf16_conservative_down(corners[:, 9:15])
+        corners = out16
+    elif corner_dtype != "float32":
+        raise ValueError(f"corner_dtype {corner_dtype!r}")
     em_corner_parts = [_corner_pack_plain(np.asarray(g.emission_zyx,
                                                      np.float32))
                        for g in host_grids if g.emission_zyx is not None]
