@@ -193,3 +193,15 @@ def test_cached_multiple_lights():
     b = np.asarray(cached.accum)
     assert a.mean() > 0
     assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())
+
+
+def test_rebake_replaces_old_channels(lit_scene):
+    """Re-baking (the viewer's sun-move path) strips the previous tau
+    channels instead of appending: width stable, sun channel changes."""
+    a = attach_shadow_cache(lit_scene, azimuth=90.0, elevation=30.0)
+    b = attach_shadow_cache(a, azimuth=270.0, elevation=30.0)
+    assert (a.atlas.density_corners.shape
+            == b.atlas.density_corners.shape)
+    ta = np.asarray(a.atlas.density_corners)[:, 15:23]
+    tb = np.asarray(b.atlas.density_corners)[:, 15:23]
+    assert not np.allclose(ta, tb)  # opposite sun -> different field
