@@ -132,6 +132,18 @@ def main():
     def want(name):
         return not ONLY or name in ONLY.split(",")
 
+    import contextlib
+
+    @contextlib.contextmanager
+    def guard(name):
+        """One failing/hanging-compile scenario must not zero the
+        whole JSON the driver records."""
+        try:
+            yield
+        except Exception as e:  # noqa: BLE001
+            _log(f"# [{name}] FAILED: {e!r}")
+            results[f"{name}__error"] = repr(e)[:300]
+
     use_cached = ENGINE == "fused" and os.environ.get("BENCH_CACHED",
                                                       "1") == "1"
 
@@ -178,148 +190,154 @@ def main():
         _log(f"# gather-rate calibration: {gather_rate_ns:.2f} "
              "ns/lane-iteration")
     if want("config1_dragon"):
-        scene = aim_camera(dragon_scene, W, H)
-        params = RenderParams(environment_type=int(Environment.BLACK),
-                              **base_kw)
-        ms, mr, tr = measure(scene, params, "config1_dragon")
-        results["config1_dragon"] = dict(ms_per_spp=round(ms, 2),
-                                         mrays_per_s=round(mr, 3),
-                                         trunc_frac=tr)
-        if use_cached:
-            results["config1_dragon_cached"] = measure_cached(
-                scene, params, "config1_dragon_cached")
+      with guard("config1_dragon"):
+          scene = aim_camera(dragon_scene, W, H)
+          params = RenderParams(environment_type=int(Environment.BLACK),
+                                **base_kw)
+          ms, mr, tr = measure(scene, params, "config1_dragon")
+          results["config1_dragon"] = dict(ms_per_spp=round(ms, 2),
+                                           mrays_per_s=round(mr, 3),
+                                           trunc_frac=tr)
+          if use_cached:
+              results["config1_dragon_cached"] = measure_cached(
+                  scene, params, "config1_dragon_cached")
 
     # ---- config 2: emission + blackbody LUT (fireball analog) ----------
     if want("config2_fireball"):
-        scene = build_scene([blob(emission=True)])
-        scene = aim_camera(scene, W, H, offset=(0.0, 1.0, 9.0))
-        params = RenderParams(environment_type=int(Environment.BLACK),
-                              emission_scale=2.0, emission_pivot=1.0,
-                              **base_kw)
-        ms, mr, tr = measure(scene, params, "config2_fireball")
-        results["config2_fireball"] = dict(ms_per_spp=round(ms, 2),
-                                           mrays_per_s=round(mr, 3),
-                                           trunc_frac=tr)
-        if use_cached:
-            results["config2_fireball_cached"] = measure_cached(
-                scene, params, "config2_fireball_cached")
+      with guard("config2_fireball"):
+          scene = build_scene([blob(emission=True)])
+          scene = aim_camera(scene, W, H, offset=(0.0, 1.0, 9.0))
+          params = RenderParams(environment_type=int(Environment.BLACK),
+                                emission_scale=2.0, emission_pivot=1.0,
+                                **base_kw)
+          ms, mr, tr = measure(scene, params, "config2_fireball")
+          results["config2_fireball"] = dict(ms_per_spp=round(ms, 2),
+                                             mrays_per_s=round(mr, 3),
+                                             trunc_frac=tr)
+          if use_cached:
+              results["config2_fireball_cached"] = measure_cached(
+                  scene, params, "config2_fireball_cached")
 
     # ---- config 3: colored smoke + HDRI env + DOF ----------------------
     if want("config3_smoke_hdri"):
-        from vpt_tpu.scene.scene import attach_env_map
-        eh, ew = 128, 256
-        ty = np.linspace(1.0, 0.0, eh, dtype=np.float32)[:, None, None]
-        env = (np.array([0.35, 0.55, 1.0], np.float32) * ty
-               + np.array([0.9, 0.6, 0.3], np.float32) * (1 - ty))
-        env = np.broadcast_to(env, (eh, ew, 3)).copy()
-        env[eh // 4, ew // 3] = [60.0, 55.0, 45.0]  # bright "sun" texel
-        scene = build_scene([blob(color=True)])
-        scene = attach_env_map(scene, env)
-        c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
-        cam = Camera.make(c + np.array([0.0, 1.0, 9.0]), c, vfov=40.0,
-                          aspect=1.0, aperture=0.25)
-        scene = dataclasses.replace(scene, camera=cam)
-        params = RenderParams(environment_type=int(Environment.HDRI),
-                              **base_kw)
-        ms, mr, tr = measure(scene, params, "config3_smoke_hdri")
-        results["config3_smoke_hdri"] = dict(ms_per_spp=round(ms, 2),
-                                             mrays_per_s=round(mr, 3),
-                                             trunc_frac=tr)
-        if use_cached:
-            results["config3_smoke_hdri_cached"] = measure_cached(
-                scene, params, "config3_smoke_hdri_cached")
+      with guard("config3_smoke_hdri"):
+          from vpt_tpu.scene.scene import attach_env_map
+          eh, ew = 128, 256
+          ty = np.linspace(1.0, 0.0, eh, dtype=np.float32)[:, None, None]
+          env = (np.array([0.35, 0.55, 1.0], np.float32) * ty
+                 + np.array([0.9, 0.6, 0.3], np.float32) * (1 - ty))
+          env = np.broadcast_to(env, (eh, ew, 3)).copy()
+          env[eh // 4, ew // 3] = [60.0, 55.0, 45.0]  # bright "sun" texel
+          scene = build_scene([blob(color=True)])
+          scene = attach_env_map(scene, env)
+          c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+          cam = Camera.make(c + np.array([0.0, 1.0, 9.0]), c, vfov=40.0,
+                            aspect=1.0, aperture=0.25)
+          scene = dataclasses.replace(scene, camera=cam)
+          params = RenderParams(environment_type=int(Environment.HDRI),
+                                **base_kw)
+          ms, mr, tr = measure(scene, params, "config3_smoke_hdri")
+          results["config3_smoke_hdri"] = dict(ms_per_spp=round(ms, 2),
+                                               mrays_per_s=round(mr, 3),
+                                               trunc_frac=tr)
+          if use_cached:
+              results["config3_smoke_hdri_cached"] = measure_cached(
+                  scene, params, "config3_smoke_hdri_cached")
 
     # ---- config 4: Bruneton planetary atmosphere -----------------------
     if want("config4_atmosphere"):
-        from vpt_tpu.scene.scene import attach_atmosphere
-        from vpt_tpu.sky.bruneton import LutDims
-        half = LutDims(transmittance_w=128, transmittance_h=32, r=16,
-                       mu=64, mu_s=16, nu=4, irradiance_w=32,
-                       irradiance_h=8)
-        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "out", "atmo_bench_cache.npz")
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        scene = build_scene([blob()])
-        scene = attach_atmosphere(scene, cache_path=cache, dims=half)
-        scene = aim_camera(scene, W, H, offset=(0.0, 0.5, 9.0))
-        params = RenderParams(environment_type=int(Environment.ATMOSPHERE),
-                              **base_kw)
-        ms, mr, tr = measure(scene, params, "config4_atmosphere")
-        results["config4_atmosphere"] = dict(ms_per_spp=round(ms, 2),
-                                             mrays_per_s=round(mr, 3),
-                                             trunc_frac=tr)
-        if ENGINE == "fused":
-            # baked-sky variant: the full per-ray Bruneton terminal
-            # evaluation measured ~80% of this scenario's wall time;
-            # the equirect cache replaces it with one bilinear fetch
-            # (accuracy bounded by tests/test_bruneton.py)
-            from vpt_tpu.scene.scene import attach_sky_cache
-            bscene = attach_sky_cache(scene, azimuth=150.0, elevation=30.0)
-            ms, mr, tr = measure(bscene, params, "config4_baked_sky")
-            results["config4_baked_sky"] = dict(
-                ms_per_spp=round(ms, 2), mrays_per_s=round(mr, 3),
-                trunc_frac=tr, sky="baked")
+      with guard("config4_atmosphere"):
+          from vpt_tpu.scene.scene import attach_atmosphere
+          from vpt_tpu.sky.bruneton import LutDims
+          half = LutDims(transmittance_w=128, transmittance_h=32, r=16,
+                         mu=64, mu_s=16, nu=4, irradiance_w=32,
+                         irradiance_h=8)
+          cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "out", "atmo_bench_cache.npz")
+          os.makedirs(os.path.dirname(cache), exist_ok=True)
+          scene = build_scene([blob()])
+          scene = attach_atmosphere(scene, cache_path=cache, dims=half)
+          scene = aim_camera(scene, W, H, offset=(0.0, 0.5, 9.0))
+          params = RenderParams(environment_type=int(Environment.ATMOSPHERE),
+                                **base_kw)
+          ms, mr, tr = measure(scene, params, "config4_atmosphere")
+          results["config4_atmosphere"] = dict(ms_per_spp=round(ms, 2),
+                                               mrays_per_s=round(mr, 3),
+                                               trunc_frac=tr)
+          if ENGINE == "fused":
+              # baked-sky variant: the full per-ray Bruneton terminal
+              # evaluation measured ~80% of this scenario's wall time;
+              # the equirect cache replaces it with one bilinear fetch
+              # (accuracy bounded by tests/test_bruneton.py)
+              from vpt_tpu.scene.scene import attach_sky_cache
+              bscene = attach_sky_cache(scene, azimuth=150.0, elevation=30.0)
+              ms, mr, tr = measure(bscene, params, "config4_baked_sky")
+              results["config4_baked_sky"] = dict(
+                  ms_per_spp=round(ms, 2), mrays_per_s=round(mr, 3),
+                  trunc_frac=tr, sky="baked")
 
     # ---- config 5: instanced cloudscape (thousands of instances) -------
     if want("config5_cloudscape"):
-        rng = np.random.RandomState(7)
-        n_inst = int(os.environ.get("BENCH_INSTANCES", 1024))
-        cloud = blob(n=24)
-        ids, xforms = [], []
-        for i in range(n_inst):
-            t = np.array([rng.uniform(0, 120), rng.uniform(0, 14),
-                          rng.uniform(0, 120)])
-            s = rng.uniform(0.7, 1.6)
-            xf = np.diag([0.1 * s, 0.1 * s, 0.1 * s, 1.0])
-            xf[3, :3] = t
-            ids.append(0)
-            xforms.append(xf)
-        # R=64 measured best (finer grids shorten the chebyshev skip
-        # jumps — more loop iterations — without lowering K)
-        scene = build_scene([cloud], instance_grid_ids=ids,
-                            instance_xforms=xforms)
-        assert scene.majorant.cell_instances is not None
-        K = int(scene.majorant.cell_instances.shape[-1])
-        _log(f"# [config5] {n_inst} instances, per-cell K={K}")
-        c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
-        eye = c + np.array([0.0, 30.0, 90.0])
-        cam = Camera.make(eye, c, vfov=50.0, aspect=1.0)
-        scene = dataclasses.replace(scene, camera=cam)
-        params = RenderParams(environment_type=int(Environment.CONSTANT),
-                              **base_kw)
-        ms, mr, tr = measure(scene, params, "config5_cloudscape")
-        results["config5_cloudscape"] = dict(
-            ms_per_spp=round(ms, 2), mrays_per_s=round(mr, 3),
-            trunc_frac=tr, n_instances=n_inst, cell_list_k=K)
+      with guard("config5_cloudscape"):
+          rng = np.random.RandomState(7)
+          n_inst = int(os.environ.get("BENCH_INSTANCES", 1024))
+          cloud = blob(n=24)
+          ids, xforms = [], []
+          for i in range(n_inst):
+              t = np.array([rng.uniform(0, 120), rng.uniform(0, 14),
+                            rng.uniform(0, 120)])
+              s = rng.uniform(0.7, 1.6)
+              xf = np.diag([0.1 * s, 0.1 * s, 0.1 * s, 1.0])
+              xf[3, :3] = t
+              ids.append(0)
+              xforms.append(xf)
+          # R=64 measured best (finer grids shorten the chebyshev skip
+          # jumps — more loop iterations — without lowering K)
+          scene = build_scene([cloud], instance_grid_ids=ids,
+                              instance_xforms=xforms)
+          assert scene.majorant.cell_instances is not None
+          K = int(scene.majorant.cell_instances.shape[-1])
+          _log(f"# [config5] {n_inst} instances, per-cell K={K}")
+          c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+          eye = c + np.array([0.0, 30.0, 90.0])
+          cam = Camera.make(eye, c, vfov=50.0, aspect=1.0)
+          scene = dataclasses.replace(scene, camera=cam)
+          params = RenderParams(environment_type=int(Environment.CONSTANT),
+                                **base_kw)
+          ms, mr, tr = measure(scene, params, "config5_cloudscape")
+          results["config5_cloudscape"] = dict(
+              ms_per_spp=round(ms, 2), mrays_per_s=round(mr, 3),
+              trunc_frac=tr, n_instances=n_inst, cell_list_k=K)
 
     # ---- north star: 1080p dragon, wall-clock to 1024 spp --------------
     north = {}
     if want("north_star") and dragon_scene is not None:
-        scene = aim_camera(dragon_scene, 1920, 1080)
-        params = RenderParams(environment_type=int(Environment.BLACK),
-                              **{**base_kw, "width": 1920, "height": 1080})
-        if use_cached:
-            from vpt_tpu.accel.shadow import attach_shadow_cache
-            scene = attach_shadow_cache(scene, azimuth=150.0,
-                                        elevation=30.0)
-            params = params.replace(shadow_mode="cached")
-        ms, mr, tr = measure(scene, params, "north_star_1080p")
-        if FULL_1080:
-            film = Film.zeros(1080, 1920)
-            t0 = time.time()
-            for it in range(1024):
-                film = render_step(scene, params, film, jnp.uint32(it))
-            float(film.accum.sum())
-            wall = time.time() - t0
-            north = dict(ms_per_spp=round(ms, 2),
-                         mrays_per_s=round(mr, 3),
-                         wallclock_1024spp_s=round(wall, 1), measured=True)
-        else:
-            north = dict(ms_per_spp=round(ms, 2),
-                         mrays_per_s=round(mr, 3),
-                         wallclock_1024spp_s=round(ms * 1024 / 1000, 1),
-                         measured=False)
-        north["shadow_mode"] = "cached" if use_cached else "tracked"
+      with guard("north_star"):
+          scene = aim_camera(dragon_scene, 1920, 1080)
+          params = RenderParams(environment_type=int(Environment.BLACK),
+                                **{**base_kw, "width": 1920, "height": 1080})
+          if use_cached:
+              from vpt_tpu.accel.shadow import attach_shadow_cache
+              scene = attach_shadow_cache(scene, azimuth=150.0,
+                                          elevation=30.0)
+              params = params.replace(shadow_mode="cached")
+          ms, mr, tr = measure(scene, params, "north_star_1080p")
+          if FULL_1080:
+              film = Film.zeros(1080, 1920)
+              t0 = time.time()
+              for it in range(1024):
+                  film = render_step(scene, params, film, jnp.uint32(it))
+              float(film.accum.sum())
+              wall = time.time() - t0
+              north = dict(ms_per_spp=round(ms, 2),
+                           mrays_per_s=round(mr, 3),
+                           wallclock_1024spp_s=round(wall, 1), measured=True)
+          else:
+              north = dict(ms_per_spp=round(ms, 2),
+                           mrays_per_s=round(mr, 3),
+                           wallclock_1024spp_s=round(ms * 1024 / 1000, 1),
+                           measured=False)
+          north["shadow_mode"] = "cached" if use_cached else "tracked"
 
     best = results.get("config1_dragon_cached",
                        results.get("config1_dragon", {}))
