@@ -43,18 +43,6 @@ def _tau_base(atlas) -> int:
     return unified_layout(atlas)[2]
 
 
-def _trilinear_world(density_zyx, inv_xform, wpos):
-    """Sample the node field at world positions (numpy, zero outside).
-
-    inv_xform: row-vector world->index 4x4; wpos (..., 3).
-    Index convention matches ops/trilinear.py: node i is at index
-    position bmin + i + 0.5 — the caller pre-subtracts bmin+0.5 by
-    passing an adjusted inv_xform (see attach_shadow_cache).
-    """
-    ipos = wpos @ inv_xform[:3, :3] + inv_xform[3, :3]
-    return _trilinear_index(density_zyx, ipos)
-
-
 def _trilinear_index(density_zyx, ipos):
     """Trilinear sample of the node field at fractional node coords
     (node i at coordinate i); zero outside [0, n-1] support."""
@@ -101,15 +89,10 @@ def directional_tau_nodes(density_zyx: np.ndarray, dir_idx: np.ndarray,
     nz, ny, nx = density_zyx.shape
     u = dir_idx / max(np.linalg.norm(dir_idx), 1e-12)
     h_idx = step_vox                       # index-space step length
-    h_world = h_idx * world_per_idx * np.linalg.norm(dir_idx) \
-        / max(np.linalg.norm(dir_idx), 1e-12)
     h_world = h_idx * world_per_idx
     diag = np.linalg.norm([nx, ny, nz])
     K = int(np.ceil(diag / h_idx)) + 1
     tau = np.zeros_like(density_zyx, np.float32)
-    base = np.stack(np.meshgrid(np.arange(nx), np.arange(ny),
-                                np.arange(nz), indexing="ij"),
-                    axis=-1).astype(np.float32)  # (nx,ny,nz,3) xyz
     # evaluate with constant offsets: S(x + o) for all nodes x at once
     for k in range(K):
         o = (k + 0.5) * h_idx * u          # (3,) xyz offset
