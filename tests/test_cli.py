@@ -1,0 +1,42 @@
+"""CLI end-to-end: `vpt render` writes an image (the batch analog of
+the reference app's scene dispatch + save, main.cpp:1252-1297,
+1782-1795)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_cli_render_procedural(tmp_path):
+    from vpt_tpu.app.cli import main
+    out = tmp_path / "out.png"
+    main(["render", "procedural", "-o", str(out), "--spp", "2",
+          "--width", "48", "--height", "48", "--ray-depth", "3",
+          "--env-type", "constant", "--cpu",
+          "--light", "2", "5", "6", "1", "1", "1", "40"])
+    assert out.exists()
+    from PIL import Image
+    img = np.asarray(Image.open(out))
+    assert img.shape[:2] == (48, 48)
+    assert img.max() > 0
+
+
+def test_cli_render_cached_shadow_mode(tmp_path):
+    from vpt_tpu.app.cli import main
+    out = tmp_path / "cached.png"
+    main(["render", "procedural", "-o", str(out), "--spp", "2",
+          "--width", "48", "--height", "48", "--ray-depth", "3",
+          "--env-type", "black", "--cpu", "--shadow-mode", "cached",
+          "--light", "2", "5", "6", "1", "1", "1", "40"])
+    assert out.exists()
+
+
+def test_cli_parser_covers_new_flags():
+    from vpt_tpu.app.cli import build_parser
+    ap = build_parser()
+    a = ap.parse_args(["render", "x.vdb", "--bake-sky",
+                       "--shadow-mode", "cached", "--aov", "cost"])
+    assert a.bake_sky and a.shadow_mode == "cached"
+    v = ap.parse_args(["view", "x.vdb", "--shadow-mode", "cached"])
+    assert v.shadow_mode == "cached"

@@ -62,6 +62,12 @@ def _load_native():
                 ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
             ]
+            dll.grow_empty_boxes.restype = ctypes.c_int
+            dll.grow_empty_boxes.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p,
+            ]
             _native = dll
             return dll
         except (OSError, AttributeError):
