@@ -41,6 +41,22 @@ def test_fused_matches_reference_mean(scene):
     assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())
 
 
+def test_fused_volume_depth2_matches_reference(scene):
+    """volume_depth is wired through the fused engine (VERDICT r2 #6):
+    intermediate medium events scatter and re-march with NEE only at
+    the loop-final interaction (render_kernel.cu:1786)."""
+    kw = dict(BASE, volume_depth=2)
+    f_ref = ProgressiveRenderer(
+        scene, RenderParams(engine="reference", **kw)).render(16)
+    f_fus = ProgressiveRenderer(
+        scene, RenderParams(engine="fused", **kw)).render(16)
+    a = np.asarray(f_ref.accum)
+    b = np.asarray(f_fus.accum)
+    assert np.isfinite(b).all() and (b >= 0).all()
+    assert a.mean() > 0
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())
+
+
 def test_fused_deterministic(scene):
     p = RenderParams(engine="fused", seed=5, **BASE)
     f1 = ProgressiveRenderer(scene, p).render(2)

@@ -94,3 +94,48 @@ def test_viewer_camera_orbit(viewer_url):
     assert not np.allclose(piv0, st.pivot)
     # the frame still renders after the camera moves
     assert _get(viewer_url + "/frame.png")[:4] == b"\x89PNG"
+
+
+def test_viewer_sun_move_rebuilds_env_cdf():
+    """Sun azimuth/elevation edits refresh the procedural-sky
+    importance CDF (main.cpp:1702-1705 create_cdf rebuild trigger)."""
+    import dataclasses
+
+    from tests.test_scenarios import _blob_grid, _cam_for
+    from vpt_tpu.app.viewer import ViewerState
+    from vpt_tpu.scene.scene import attach_sky_cdf, build_scene
+
+    scene = build_scene([_blob_grid()])
+    scene = dataclasses.replace(scene, camera=_cam_for(scene))
+    scene = attach_sky_cdf(scene, azimuth=150.0, elevation=30.0)
+    params = RenderParams(width=8, height=8, ray_depth=2,
+                          max_track_steps=16, max_fused_steps=32,
+                          environment_type=int(Environment.ATMOSPHERE))
+    vs = ViewerState(scene, params)  # render thread NOT started
+    before = np.asarray(vs.renderer.scene.env_cdf.func).copy()
+    vs.set_param("azimuth", 250.0)
+    after = np.asarray(vs.renderer.scene.env_cdf.func)
+    assert not np.allclose(before, after)
+
+
+def test_viewer_static_selects():
+    """Engine / shadow-mode dropdowns re-specialize the params."""
+    import dataclasses
+
+    from tests.test_scenarios import _blob_grid, _cam_for
+    from vpt_tpu.app.viewer import ViewerState, _slider_html
+    from vpt_tpu.scene.scene import build_scene
+
+    scene = build_scene([_blob_grid()])
+    scene = dataclasses.replace(scene, camera=_cam_for(scene))
+    params = RenderParams(width=8, height=8, ray_depth=2,
+                          max_track_steps=16, max_fused_steps=32,
+                          environment_type=int(Environment.CONSTANT))
+    assert "engine" in _slider_html(params)
+    vs = ViewerState(scene, params)
+    vs.set_param("engine", "reference")
+    assert vs.renderer.params.engine == "reference"
+    vs.set_param("shadow_mode", "cached")  # blob scene: cache attaches
+    assert vs.renderer.params.shadow_mode == "cached"
+    from vpt_tpu.accel.shadow import n_cached_lights
+    assert n_cached_lights(vs.renderer.scene.atlas) >= 0

@@ -33,6 +33,15 @@ _DYNAMIC_SLIDERS = [
     ("tr_depth", "tr depth", 0.1, 5.0, 0.1),
 ]
 
+# (name, label, choices) — static-field selects (the reference's
+# integrator/denoise combos, main.cpp:1565-1641).  Changing one
+# re-specializes the jit on the next step (one-off compile stall, like
+# the reference's PTX switch).
+_STATIC_SELECTS = [
+    ("engine", "engine", ["fused", "reference", "march"]),
+    ("shadow_mode", "shadow mode", ["tracked", "cached"]),
+]
+
 _PAGE = """<!doctype html><html><head><title>vpt viewer</title><style>
 body{background:#111;color:#ddd;font:13px sans-serif;display:flex;margin:0}
 #img{image-rendering:pixelated;margin:12px;border:1px solid #333;
@@ -96,6 +105,15 @@ def _slider_html(params):
             f'<input type="range" min="{lo}" max="{hi}" step="{st}" '
             f'value="{val}" '
             f"oninput=\"setp('{name}', this.value)\"></label>")
+    for name, label, choices in _STATIC_SELECTS:
+        cur = getattr(params, name)
+        opts = "".join(
+            f'<option value="{c}"{" selected" if c == cur else ""}>{c}'
+            f"</option>" for c in choices)
+        rows.append(
+            f'<label>{label} <span id="v_{name}"></span><br>'
+            f'<select onchange="setp(\'{name}\', this.value)">{opts}'
+            f"</select></label>")
     return "\n".join(rows)
 
 
@@ -177,6 +195,26 @@ class ViewerState:
             time.sleep(0.001)
 
     def set_param(self, name, value):
+        if name in {s[0] for s in _STATIC_SELECTS}:
+            choices = next(s[2] for s in _STATIC_SELECTS if s[0] == name)
+            if value not in choices:
+                raise KeyError(f"{name}={value}")
+            with self.lock:
+                if name == "shadow_mode" and value == "cached":
+                    # the cached-NEE path needs baked tau channels
+                    from vpt_tpu.accel.shadow import attach_shadow_cache
+                    try:
+                        self.renderer.scene = attach_shadow_cache(
+                            self.renderer.scene,
+                            azimuth=float(self.renderer.params.azimuth),
+                            elevation=float(self.renderer.params.elevation))
+                    except Exception as e:  # e.g. multi-instance scene
+                        log(f"shadow cache unavailable: {e}", "warning")
+                        return
+                self.renderer.params = self.renderer.params.replace(
+                    **{name: value})
+                self.renderer.reset()
+            return
         if name not in {s[0] for s in _DYNAMIC_SLIDERS}:
             raise KeyError(name)
         with self.lock:
@@ -197,6 +235,15 @@ class ViewerState:
                     from vpt_tpu.scene.scene import attach_sky_cache
                     self.renderer.scene = attach_sky_cache(
                         self.renderer.scene, azimuth=az, elevation=el)
+                from vpt_tpu.render.params import Environment
+                if (self.renderer.scene.env_cdf is not None
+                        and self.renderer.params.environment_type
+                        == int(Environment.ATMOSPHERE)):
+                    # keep env importance sampling matched to the sun
+                    # (main.cpp:1702-1705 create_cdf rebuild trigger)
+                    from vpt_tpu.scene.scene import attach_sky_cdf
+                    self.renderer.scene = attach_sky_cdf(
+                        self.renderer.scene, azimuth=az, elevation=el)
             self.renderer.reset()
 
     def reset(self):
@@ -208,10 +255,8 @@ class ViewerState:
         from PIL import Image
         with self.lock:
             img = self.renderer.display_image()[::-1]
-            spp = self.renderer.iteration
         buf = io.BytesIO()
         Image.fromarray(np.asarray(img)).save(buf, "PNG")
-        del spp
         return buf.getvalue()
 
     def status(self) -> dict:

@@ -164,14 +164,14 @@ def fused_direct(scene, params, key, origin, direction,
                    * cos_l[..., None])
         return anchor, new_dir, beta, contrib
 
-    def seek_block(kstep, u, state22):
+    def seek_block(kstep, u, state23):
         """The SEEK classification (pure math, no gathers): route
         P_SEEK lanes into MARCH / sphere-SHADOW / DONE.  Called inside
         the loop body AND once before the loop (pre-classifying the
         camera segment saves one full-loop iteration per tile)."""
         (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr, contrib,
          dist, t, skip, tbox, sphere_lim, phase, ascode, nshadow, depth_n,
-         depth_aov, cost, step) = state22
+         depth_aov, cost, step, vd) = state23
 
         seeking = phase == P_SEEK
         hit1, t1, _tmax1 = aabb_intersect(scene.root_pmin, scene.root_pmax,
@@ -201,6 +201,7 @@ def fused_direct(scene, params, key, origin, direction,
         skip = jnp.where(go_march, 0.0, skip)
         tbox = jnp.where(go_march, 0.0, tbox)
         phase = jnp.where(go_march, P_MARCH, phase)
+        vd = jnp.where(go_march, 0, vd)
         depth_n = depth_n + go_march.astype(jnp.int32)
 
         # sphere branch
@@ -229,7 +230,7 @@ def fused_direct(scene, params, key, origin, direction,
         depth_n = depth_n + go_sphere.astype(jnp.int32)
         return (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr,
                 contrib, dist, t, skip, tbox, sphere_lim, phase, ascode,
-                nshadow, depth_n, depth_aov, cost, step)
+                nshadow, depth_n, depth_aov, cost, step, vd)
 
     def body(state):
         kstep = jax.random.fold_in(key, state[21])
@@ -237,7 +238,7 @@ def fused_direct(scene, params, key, origin, direction,
 
         (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr, contrib,
          dist, t, skip, tbox, sphere_lim, phase, ascode, nshadow, depth_n,
-         depth_aov, cost, step) = seek_block(kstep, u, state[:22])
+         depth_aov, cost, step, vd) = seek_block(kstep, u, state[:23])
 
         # --------------------------------------------- WALK step -----
         marching = phase == P_MARCH
@@ -318,8 +319,18 @@ def fused_direct(scene, params, key, origin, direction,
                                   density * (sigma_max / bound), 0.0)
         accept = m_sampled & (density / bound > u[:, 1])
         if phase_counts:
-            pcnt = state[22] + jnp.concatenate(
+            pcnt = state[23] + jnp.concatenate(
                 [pcnt_new, accept.astype(jnp.int32)[:, None]], axis=-1)
+        # volume_depth > 1 (render_kernel.cu:1786, integrator.py inner
+        # loop): all but the LAST sub-walk's interaction scatter (HG)
+        # and keep marching with NO NEE — only the loop-final medium
+        # event estimates lights/emission.  Static gate: the common
+        # volume_depth == 1 trace is unchanged.
+        if params.volume_depth > 1:
+            nee_now = accept & (vd >= params.volume_depth - 1)
+            accept_more = accept & ~nee_now
+        else:
+            nee_now = accept
 
         # SHADOW: residual ratio factor
         s_sampled = sampled & shadowing
@@ -384,22 +395,35 @@ def fused_direct(scene, params, key, origin, direction,
                     * falloff * pt_w)[..., None]
                 nee = nee + pt_contrib * cached_tr(taus[..., 1 + i],
                                                    cursor, wi)[..., None]
-            L = L + jnp.where(accept[..., None], nee * beta, 0.0)
+            L = L + jnp.where(nee_now[..., None], nee * beta, 0.0)
         else:
-            nshadow = jnp.where(accept, n_pt_walks, nshadow)
+            nshadow = jnp.where(nee_now, n_pt_walks, nshadow)
             w_pos, w_dist, w_tr0 = _shadow_init(
                 scene, params, anchor, jnp.broadcast_to(sun_dir, pos.shape))
-            pos = jnp.where(accept[..., None], w_pos, pos)
-            dirn = jnp.where(accept[..., None],
+            pos = jnp.where(nee_now[..., None], w_pos, pos)
+            dirn = jnp.where(nee_now[..., None],
                              jnp.broadcast_to(sun_dir, pos.shape), dirn)
-            dist = jnp.where(accept, w_dist, dist)
-            tr = jnp.where(accept, w_tr0, tr)
-            t = jnp.where(accept, 0.0, t)
-            skip = jnp.where(accept, 0.0, skip)
-            tbox = jnp.where(accept, 0.0, tbox)
-            contrib = jnp.where(accept[..., None], sun_contrib, contrib)
-            ascode = jnp.where(accept, AS_SUN, ascode)
-            phase = jnp.where(accept, P_SHADOW, phase)
+            dist = jnp.where(nee_now, w_dist, dist)
+            tr = jnp.where(nee_now, w_tr0, tr)
+            t = jnp.where(nee_now, 0.0, t)
+            skip = jnp.where(nee_now, 0.0, skip)
+            tbox = jnp.where(nee_now, 0.0, tbox)
+            contrib = jnp.where(nee_now[..., None], sun_contrib, contrib)
+            ascode = jnp.where(nee_now, AS_SUN, ascode)
+            phase = jnp.where(nee_now, P_SHADOW, phase)
+
+        if params.volume_depth > 1:
+            # intermediate interaction: restart the primary walk from
+            # the collision point along the scattered direction
+            vm_dist, vm_lim = _march_init(scene, cursor, hg_dir)
+            pos = jnp.where(accept_more[..., None], cursor, pos)
+            dirn = jnp.where(accept_more[..., None], hg_dir, dirn)
+            dist = jnp.where(accept_more, vm_dist, dist)
+            sphere_lim = jnp.where(accept_more, vm_lim, sphere_lim)
+            t = jnp.where(accept_more, 0.0, t)
+            skip = jnp.where(accept_more, 0.0, skip)
+            tbox = jnp.where(accept_more, 0.0, tbox)
+            vd = jnp.where(accept_more, vd + 1, vd)
 
         # primary walk exit without interaction -> classify the
         # continuation HERE (pure math): DONE unless the sphere lies
@@ -459,7 +483,7 @@ def fused_direct(scene, params, key, origin, direction,
         resume_emit = walks_done & (ascode != AS_SPHERE)
         if cached_shadows:
             # cached medium events resume directly (their NEE is done)
-            resume_emit = resume_emit | accept
+            resume_emit = resume_emit | nee_now
         resume_seek = walks_done & (ascode == AS_SPHERE)
         sph_res, _ = _sphere_block(scene, anchor, sdir)
         if scene.atlas.has_emission:
@@ -491,7 +515,7 @@ def fused_direct(scene, params, key, origin, direction,
 
         ret = (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr,
                contrib, dist, t, skip, tbox, sphere_lim, phase, ascode,
-               nshadow, depth_n, depth_aov, cost, step + 1)
+               nshadow, depth_n, depth_aov, cost, step + 1, vd)
         return ret + (pcnt,) if phase_counts else ret
 
     zf = jnp.zeros(B, jnp.float32)
@@ -501,7 +525,7 @@ def fused_direct(scene, params, key, origin, direction,
              zf, jnp.ones(B, jnp.float32), jnp.zeros((B, 3), jnp.float32),
              zf, zf, zf, zf, jnp.zeros(B, bool),
              jnp.full(B, P_SEEK, jnp.int32),
-             zi, zi, zi, zf, zi, jnp.int32(0))
+             zi, zi, zi, zf, zi, jnp.int32(0), zi)
     # pre-classify the camera segment (gather-free math): rays start
     # the loop already MARCHing / in the sphere's sun walk / DONE
     k0 = jax.random.fold_in(key, 1 << 20)
@@ -520,7 +544,7 @@ def fused_direct(scene, params, key, origin, direction,
 
     (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr, contrib, dist,
      t, skip, tbox, sphere_lim, phase, ascode, nshadow, depth_n, depth_aov,
-     cost, _step) = state[:22]
+     cost, _step, _vd) = state[:23]
 
     from vpt_tpu.render.integrator import environment_radiance
     L = L + environment_radiance(scene, params, env_pos, dirn) * beta
@@ -528,7 +552,7 @@ def fused_direct(scene, params, key, origin, direction,
     unfinished = (phase != P_DONE).astype(jnp.float32)
     if phase_counts:
         return L, alpha, cost.astype(jnp.float32), unfinished, depth_aov, \
-            state[22]
+            state[23]
     if return_state:
         return L, alpha, cost.astype(jnp.float32), unfinished, depth_aov, \
             state
