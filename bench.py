@@ -33,7 +33,9 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", 2))
 ITERS = int(os.environ.get("BENCH_ITERS", 16))
 ENGINE = os.environ.get("BENCH_ENGINE", "fused")
 FUSED_STEPS = int(os.environ.get("BENCH_FUSED_STEPS", 128))
-FULL_1080 = os.environ.get("BENCH_FULL_1080P", "0") == "1"
+# the north-star 1024-spp wall-clock is MEASURED by default (VERDICT r2
+# #4); BENCH_FULL_1080P=0 falls back to the ms/spp extrapolation
+FULL_1080 = os.environ.get("BENCH_FULL_1080P", "1") == "1"
 ONLY = os.environ.get("BENCH_ONLY", "")  # comma-sep scenario filter
 
 
@@ -65,12 +67,20 @@ def main():
         return dataclasses.replace(scene, camera=cam)
 
     def measure(scene, params, label):
-        """(ms/spp, Mrays/s, trunc_frac) with compile excluded.
+        """(ms/spp, Mrays/s, trunc_frac, mean_iters) with compile
+        excluded.
 
         Timed in 4 groups, reporting the BEST group: the remote-TPU
         tunnel occasionally stalls for seconds (measured up to 600x
         outliers with identical HLO — tools/probe_hlo.py), which would
-        otherwise poison a single mean."""
+        otherwise poison a single mean.
+
+        mean_iters = mean walking loop-iterations per ray (the fused
+        cost AOV) — the weather-NORMALIZED progress metric (VERDICT r2
+        #5): wall ≈ iterations x lanes x the day's serialized-gather
+        rate, so iteration counts are comparable across rounds while
+        raw wall-clock is confounded by the tunnel's rate.
+        """
         film = Film.zeros(params.height, params.width)
         it = 0
         t0 = time.time()
@@ -93,14 +103,16 @@ def main():
         dt = best
         mrays = params.width * params.height / dt / 1e6
         trunc = -1.0
+        mean_iters = None
         if params.engine == "fused":
             from vpt_tpu.core.rng import render_key
             _, _, aux = jax.jit(render_rays)(scene, params,
                                              render_key(params.seed, 0))
             trunc = float(np.asarray(aux["trunc"]).mean())
+            mean_iters = float(np.asarray(aux["cost"]).mean())
         _log(f"# [{label}] {dt*1000:.1f} ms/spp  {mrays:.2f} Mrays/s  "
-             f"trunc={trunc:.4f}")
-        return dt * 1000, mrays, trunc
+             f"trunc={trunc:.4f}  iters/ray={mean_iters}")
+        return dt * 1000, mrays, trunc, mean_iters
 
     def blob(n=64, emission=False, color=False):
         # compact turbulent puff (~1/3 of the box, like the reference's
@@ -147,6 +159,13 @@ def main():
     use_cached = ENGINE == "fused" and os.environ.get("BENCH_CACHED",
                                                       "1") == "1"
 
+    def entry(ms, mr, tr, iters, **kw):
+        d = dict(ms_per_spp=round(ms, 2), mrays_per_s=round(mr, 3),
+                 trunc_frac=tr, **kw)
+        if iters is not None:
+            d["mean_iters_per_ray"] = round(iters, 2)
+        return d
+
     def measure_cached(scene, params, label, azimuth=150.0, elevation=30.0):
         """Cached-shadow variant (accel/shadow.py): precomputed
         optical-depth NEE, expectation-equal to the tracked walks
@@ -155,9 +174,8 @@ def main():
         cscene = attach_shadow_cache(scene, azimuth=azimuth,
                                      elevation=elevation)
         cparams = params.replace(shadow_mode="cached")
-        ms, mr, tr = measure(cscene, cparams, label)
-        return dict(ms_per_spp=round(ms, 2), mrays_per_s=round(mr, 3),
-                    trunc_frac=tr, shadow_mode="cached")
+        return entry(*measure(cscene, cparams, label),
+                     shadow_mode="cached")
 
     # ---- config 1: dragon.vdb, one point light, no atmosphere ----------
     dragon_scene = None
@@ -194,10 +212,8 @@ def main():
           scene = aim_camera(dragon_scene, W, H)
           params = RenderParams(environment_type=int(Environment.BLACK),
                                 **base_kw)
-          ms, mr, tr = measure(scene, params, "config1_dragon")
-          results["config1_dragon"] = dict(ms_per_spp=round(ms, 2),
-                                           mrays_per_s=round(mr, 3),
-                                           trunc_frac=tr)
+          results["config1_dragon"] = entry(
+              *measure(scene, params, "config1_dragon"))
           if use_cached:
               results["config1_dragon_cached"] = measure_cached(
                   scene, params, "config1_dragon_cached")
@@ -210,10 +226,8 @@ def main():
           params = RenderParams(environment_type=int(Environment.BLACK),
                                 emission_scale=2.0, emission_pivot=1.0,
                                 **base_kw)
-          ms, mr, tr = measure(scene, params, "config2_fireball")
-          results["config2_fireball"] = dict(ms_per_spp=round(ms, 2),
-                                             mrays_per_s=round(mr, 3),
-                                             trunc_frac=tr)
+          results["config2_fireball"] = entry(
+              *measure(scene, params, "config2_fireball"))
           if use_cached:
               results["config2_fireball_cached"] = measure_cached(
                   scene, params, "config2_fireball_cached")
@@ -236,10 +250,8 @@ def main():
           scene = dataclasses.replace(scene, camera=cam)
           params = RenderParams(environment_type=int(Environment.HDRI),
                                 **base_kw)
-          ms, mr, tr = measure(scene, params, "config3_smoke_hdri")
-          results["config3_smoke_hdri"] = dict(ms_per_spp=round(ms, 2),
-                                               mrays_per_s=round(mr, 3),
-                                               trunc_frac=tr)
+          results["config3_smoke_hdri"] = entry(
+              *measure(scene, params, "config3_smoke_hdri"))
           if use_cached:
               results["config3_smoke_hdri_cached"] = measure_cached(
                   scene, params, "config3_smoke_hdri_cached")
@@ -260,10 +272,8 @@ def main():
           scene = aim_camera(scene, W, H, offset=(0.0, 0.5, 9.0))
           params = RenderParams(environment_type=int(Environment.ATMOSPHERE),
                                 **base_kw)
-          ms, mr, tr = measure(scene, params, "config4_atmosphere")
-          results["config4_atmosphere"] = dict(ms_per_spp=round(ms, 2),
-                                               mrays_per_s=round(mr, 3),
-                                               trunc_frac=tr)
+          results["config4_atmosphere"] = entry(
+              *measure(scene, params, "config4_atmosphere"))
           if ENGINE == "fused":
               # baked-sky variant: the full per-ray Bruneton terminal
               # evaluation measured ~80% of this scenario's wall time;
@@ -271,10 +281,9 @@ def main():
               # (accuracy bounded by tests/test_bruneton.py)
               from vpt_tpu.scene.scene import attach_sky_cache
               bscene = attach_sky_cache(scene, azimuth=150.0, elevation=30.0)
-              ms, mr, tr = measure(bscene, params, "config4_baked_sky")
-              results["config4_baked_sky"] = dict(
-                  ms_per_spp=round(ms, 2), mrays_per_s=round(mr, 3),
-                  trunc_frac=tr, sky="baked")
+              results["config4_baked_sky"] = entry(
+                  *measure(bscene, params, "config4_baked_sky"),
+                  sky="baked")
 
     # ---- config 5: instanced cloudscape (thousands of instances) -------
     if want("config5_cloudscape"):
@@ -304,10 +313,9 @@ def main():
           scene = dataclasses.replace(scene, camera=cam)
           params = RenderParams(environment_type=int(Environment.CONSTANT),
                                 **base_kw)
-          ms, mr, tr = measure(scene, params, "config5_cloudscape")
-          results["config5_cloudscape"] = dict(
-              ms_per_spp=round(ms, 2), mrays_per_s=round(mr, 3),
-              trunc_frac=tr, n_instances=n_inst, cell_list_k=K)
+          results["config5_cloudscape"] = entry(
+              *measure(scene, params, "config5_cloudscape"),
+              n_instances=n_inst, cell_list_k=K)
 
     # ---- north star: 1080p dragon, wall-clock to 1024 spp --------------
     north = {}
@@ -321,7 +329,7 @@ def main():
               scene = attach_shadow_cache(scene, azimuth=150.0,
                                           elevation=30.0)
               params = params.replace(shadow_mode="cached")
-          ms, mr, tr = measure(scene, params, "north_star_1080p")
+          ms, mr, tr, iters = measure(scene, params, "north_star_1080p")
           if FULL_1080:
               film = Film.zeros(1080, 1920)
               t0 = time.time()
@@ -329,14 +337,15 @@ def main():
                   film = render_step(scene, params, film, jnp.uint32(it))
               float(film.accum.sum())
               wall = time.time() - t0
-              north = dict(ms_per_spp=round(ms, 2),
-                           mrays_per_s=round(mr, 3),
-                           wallclock_1024spp_s=round(wall, 1), measured=True)
+              _log(f"# [north_star_1080p] measured 1024-spp wall-clock: "
+                   f"{wall:.1f}s")
+              north = entry(ms, mr, tr, iters,
+                            wallclock_1024spp_s=round(wall, 1),
+                            measured=True)
           else:
-              north = dict(ms_per_spp=round(ms, 2),
-                           mrays_per_s=round(mr, 3),
-                           wallclock_1024spp_s=round(ms * 1024 / 1000, 1),
-                           measured=False)
+              north = entry(ms, mr, tr, iters,
+                            wallclock_1024spp_s=round(ms * 1024 / 1000, 1),
+                            measured=False)
           north["shadow_mode"] = "cached" if use_cached else "tracked"
 
     best = results.get("config1_dragon_cached",

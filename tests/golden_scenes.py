@@ -109,6 +109,24 @@ def scenes():
         cs = attach_shadow_cache(base[0], azimuth=150.0, elevation=30.0)
         out["c1_cached_shadows"] = (
             cs, base[1].replace(shadow_mode="cached"))
+
+    # c4 through the FULL Bruneton pipeline baked into an equirect sky
+    # cache (attach_sky_cache) — pins the baked-sky fast path.  Tiny
+    # LUT dims; the LUTs themselves are cached in tests/golden so the
+    # corpus does not depend on recompute rounding.
+    from vpt_tpu.scene.scene import attach_atmosphere, attach_sky_cache
+    from vpt_tpu.sky import bruneton as br
+    tiny = br.LutDims(transmittance_w=64, transmittance_h=16, r=4, mu=32,
+                      mu_s=8, nu=4, irradiance_w=16, irradiance_h=4)
+    lut_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "golden", "tiny_luts.npz")
+    s = _camera(build_scene([_blob()]))
+    s = attach_atmosphere(s, cache_path=lut_cache, dims=tiny)
+    s = attach_sky_cache(s, azimuth=150.0, elevation=30.0, height=64,
+                         width=128)
+    out["c4_baked_sky"] = (
+        s, RenderParams(environment_type=int(Environment.ATMOSPHERE),
+                        **BASE_KW))
     return out
 
 
@@ -119,9 +137,25 @@ def render(scene, params, engine: str, spp: int = SPP) -> np.ndarray:
     return np.asarray(film.accum)
 
 
-ENGINES = {  # engine -> scenes it is validated on
+ENGINES = {  # engine -> scenes it is validated on (full 5x3 matrix)
     "fused": ["c1_dragon_pointlight", "c2_emission", "c3_hdri_color",
-              "c4_procedural_sky", "c5_instanced", "c1_cached_shadows"],
-    "reference": ["c1_dragon_pointlight", "c2_emission", "c5_instanced"],
-    "march": ["c1_dragon_pointlight", "c2_emission"],
+              "c4_procedural_sky", "c5_instanced", "c1_cached_shadows",
+              "c4_baked_sky"],
+    "reference": ["c1_dragon_pointlight", "c2_emission", "c3_hdri_color",
+                  "c4_procedural_sky", "c5_instanced"],
+    "march": ["c1_dragon_pointlight", "c2_emission", "c3_hdri_color",
+              "c4_procedural_sky", "c5_instanced"],
 }
+
+# Combos intentionally NOT in the matrix, with reasons:
+# * c1_cached_shadows runs only on `fused` — the reference/march
+#   engines ignore shadow_mode (their NEE is tracked/quadrature by
+#   design), so a golden there would duplicate c1_dragon_pointlight.
+# * c4_baked_sky runs only on `fused` — the baked equirect cache is a
+#   terminal-lookup substitution validated against the live path in
+#   tests/test_scenarios.py; reference/march exercise the live
+#   Bruneton-free procedural sky via c4_procedural_sky.
+# march's estimator differences (single-scatter quadrature, mean-
+# scatter-point NEE) are documented in render/march.py — its goldens
+# regress its own deterministic output, not cross-engine agreement
+# (that lives in tests/test_fused.py / test_parity_fills.py).

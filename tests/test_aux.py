@@ -209,3 +209,50 @@ def test_piz_exr_decode():
     assert 0.85 < r.min() <= r.max() <= 1.0
     # smooth LUT: neighboring entries differ by < 1%
     assert np.abs(np.diff(r)).max() < 0.01
+
+
+def test_structure_visualization_aovs():
+    """visualize_BVH / visualize_OCTree analogs (render_kernel.cu:
+    2108-2136): the vectorized leaf-hit count matches the host BVH
+    traversal, and occupancy is nonzero only where rays cross the
+    volume."""
+    import dataclasses
+
+    from tests.test_scenarios import _blob_grid, _cam_for
+    from vpt_tpu.render.debugviz import (bvh_hits, occupancy_fraction,
+                                         render_structure_aov)
+    from vpt_tpu.render.params import RenderParams
+    from vpt_tpu.scene.scene import build_scene
+
+    rng = np.random.RandomState(0)
+    ids, xforms = [], []
+    for i in range(5):
+        xf = np.diag([0.2, 0.2, 0.2, 1.0])
+        xf[3, :3] = rng.uniform(0, 6, 3)
+        ids.append(0)
+        xforms.append(xf)
+    scene = build_scene([_blob_grid()], instance_grid_ids=ids,
+                        instance_xforms=xforms)
+    scene = dataclasses.replace(scene, camera=_cam_for(scene))
+
+    c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+    span = np.asarray(scene.root_pmax) - np.asarray(scene.root_pmin)
+    o = np.array([c + [0.0, 0.0, span[2] * 2.0],
+                  c + [span[0] * 9.0, 0.0, span[2] * 2.0]], np.float32)
+    d = np.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]], np.float32)
+
+    hits = np.asarray(bvh_hits(scene, o, d))
+    host = bvh_hit_count(build_lbvh(np.asarray(scene.instances.pmin),
+                                    np.asarray(scene.instances.pmax)),
+                         o, d)
+    np.testing.assert_array_equal(hits, host.astype(np.float32))
+    assert hits[0] >= 1 and hits[1] == 0
+
+    occ = np.asarray(occupancy_fraction(scene, o, d))
+    assert occ[0] > 0.0 and occ[1] == 0.0
+
+    p = RenderParams(width=16, height=16)
+    img = np.asarray(render_structure_aov(scene, p, "occupancy"))
+    assert img.shape == (16, 16) and img.max() > 0
+    img = np.asarray(render_structure_aov(scene, p, "bvh"))
+    assert img.shape == (16, 16) and img.max() >= 1

@@ -259,3 +259,21 @@ def test_sky_cache_matches_direct(atm):
     err = np.abs(cached[m] - direct[m]).mean()
     scale = max(direct[m].mean(), 1e-6)
     assert err / scale < 0.03, (err, scale)
+
+
+def test_render_earth_from_orbit(atm):
+    """Camera-from-space planetary render (render_earth,
+    render_kernel.cu:2138-2180): the planet disc fills the frame
+    centre, space stays dark, and the limb is brighter than deep
+    space."""
+    from vpt_tpu.sky.runtime import Atmosphere, render_earth
+    p, luts = atm
+    a = Atmosphere(params=p, luts=luts, dims=TINY)
+    img = np.asarray(render_earth(a, width=48, height=48, azimuth=150.0,
+                                  elevation=40.0, altitude_factor=3.0))
+    assert img.shape == (48, 48, 3)
+    assert np.isfinite(img).all()
+    center = img[20:28, 20:28].mean()
+    corners = np.stack([img[:4, :4], img[:4, -4:], img[-4:, :4],
+                        img[-4:, -4:]]).mean()
+    assert center > corners + 0.01, (center, corners)

@@ -69,9 +69,12 @@ def build_parser():
     r.add_argument("--save-exr", action="store_true",
                    help="also save raw radiance as EXR next to output")
     r.add_argument("--aov",
-                   choices=["none", "alpha", "cost", "depth", "dof"],
+                   choices=["none", "alpha", "cost", "depth", "dof",
+                            "occupancy", "bvh"],
                    default="none", help="save an extra AOV image (dof = "
-                   "focus-band overlay, render_kernel.cu:2270-2274)")
+                   "focus-band overlay, render_kernel.cu:2270-2274; "
+                   "occupancy/bvh = structure visualizations, "
+                   ":2108-2136)")
     r.add_argument("--atmosphere", action="store_true",
                    help="precompute/attach the full Bruneton atmosphere "
                    "(otherwise env-type=atmosphere uses the simple sky)")
@@ -86,6 +89,19 @@ def build_parser():
                    help="bake the atmosphere to an equirect cache "
                         "(one-fetch terminal lookups, ~4.6x on "
                         "atmosphere scenes; re-baked per sun position)")
+
+    e = sub.add_parser("earth", help="planetary render from orbit — the "
+                       "reference's render_earth debug integrator "
+                       "(render_kernel.cu:2138-2180)")
+    e.add_argument("-o", "--output", default="render/earth.png")
+    e.add_argument("--width", type=int, default=512)
+    e.add_argument("--height", type=int, default=512)
+    e.add_argument("--azimuth", type=float, default=150.0)
+    e.add_argument("--elevation", type=float, default=30.0)
+    e.add_argument("--altitude", type=float, default=2.5,
+                   help="camera distance in top-atmosphere radii")
+    e.add_argument("--atmosphere-cache", default="out/atmosphere_luts.npz")
+    e.add_argument("--cpu", action="store_true")
 
     v = sub.add_parser("view", help="interactive progressive viewer "
                        "(web page with live parameter controls)")
@@ -241,10 +257,42 @@ def cmd_render(args):
                                      params.exposure_scale))[::-1]
         stem = _os.path.splitext(args.output)[0]
         Image.fromarray(viz).save(f"{stem}_dof.png")
+    elif args.aov in ("occupancy", "bvh"):
+        from vpt_tpu.render.debugviz import render_structure_aov
+        from vpt_tpu.utils.io import save_aov
+        viz = np.asarray(render_structure_aov(scene, params,
+                                              args.aov))[::-1]
+        save_aov(args.output, args.aov, viz)
     elif args.aov != "none":
         aov = np.asarray(getattr(film, args.aov))[::-1]
         from vpt_tpu.utils.io import save_aov
         save_aov(args.output, args.aov, aov)
+    log(f"wrote {args.output}")
+
+
+def cmd_earth(args):
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from vpt_tpu.sky.runtime import make_atmosphere, render_earth
+
+    os.makedirs(os.path.dirname(args.atmosphere_cache) or ".",
+                exist_ok=True)
+    t0 = time.time()
+    atm = make_atmosphere(cache_path=args.atmosphere_cache)
+    log(f"atmosphere LUTs ready in {time.time()-t0:.1f}s")
+    img = np.asarray(render_earth(atm, args.width, args.height,
+                                  azimuth=args.azimuth,
+                                  elevation=args.elevation,
+                                  altitude_factor=args.altitude))
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    Image.fromarray((np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+                    ).save(args.output)
     log(f"wrote {args.output}")
 
 
@@ -291,6 +339,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cmd == "render":
         cmd_render(args)
+    elif args.cmd == "earth":
+        cmd_earth(args)
     elif args.cmd == "view":
         cmd_view(args)
 

@@ -205,6 +205,35 @@ def sample_sky_cache(p, cache, ray_dir, azimuth, elevation):
                              sun_direction)
 
 
+def render_earth(atm: Atmosphere, width: int = 512, height: int = 512,
+                 azimuth: float = 150.0, elevation: float = 30.0,
+                 altitude_factor: float = 2.5, vfov_deg: float = 50.0):
+    """Camera-from-space planetary render — the reference's
+    ``render_earth`` debug integrator (render_kernel.cu:2138-2180):
+    a perspective camera in orbit looking at the planet centre, each
+    pixel evaluating the full atmosphere model (ground + limb + sky +
+    sun disc).  Returns an (H, W, 3) float image in [0, 1] (the
+    exposure/white-point curve is baked in, as in the reference).
+    """
+    p = atm.params
+    cam_r = p.top_radius * altitude_factor
+    earth_center = jnp.array([0.0, 1.0, 0.0], jnp.float32) \
+        * p.earth_center_y
+    # camera above the +z axis of the planet, looking at the centre
+    cam_pos = earth_center + jnp.array([0.0, 0.0, cam_r], jnp.float32)
+    half = jnp.tan(jnp.deg2rad(vfov_deg) * 0.5)
+    ys = (0.5 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height) \
+        * 2.0 * half
+    xs = ((jnp.arange(width, dtype=jnp.float32) + 0.5) / width - 0.5) \
+        * 2.0 * half * (width / height)
+    xg, yg = jnp.meshgrid(xs, ys, indexing="xy")
+    dirs = jnp.stack([xg, yg, -jnp.ones_like(xg)], axis=-1).reshape(-1, 3)
+    dirs = normalize(dirs)
+    pos = jnp.broadcast_to(cam_pos, dirs.shape)
+    img = sample_atmosphere(atm, pos, dirs, azimuth, elevation, atm.dims)
+    return img.reshape(height, width, 3)
+
+
 def sample_atmosphere_scene(scene, params, ray_pos, ray_dir):
     atm = scene.atmosphere
     if getattr(scene, "sky_cache", None) is not None:
