@@ -277,3 +277,47 @@ def test_render_earth_from_orbit(atm):
     corners = np.stack([img[:4, :4], img[:4, -4:], img[-4:, :4],
                         img[-4:, -4:]]).mean()
     assert center > corners + 0.01, (center, corners)
+
+
+def test_packed_luts_match_unpacked(atm):
+    """Corner-packed runtime LUT lookups (br.pack_luts) must agree
+    with the multi-tap originals — same corners, same weights, only
+    the gather count changes (VERDICT r2 #3 surgery)."""
+    from vpt_tpu.core.vecmath import degree_to_cartesian
+    params, luts = atm
+    packed = br.pack_luts(luts)
+    key = jax.random.PRNGKey(7)
+    n = 2000
+    d = jax.random.normal(key, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    r = params.bottom_radius + jax.random.uniform(
+        jax.random.fold_in(key, 1), (n,)) \
+        * (params.top_radius - params.bottom_radius)
+    cam = jnp.stack([jnp.zeros(n), r, jnp.zeros(n)], axis=-1)
+    sun = degree_to_cartesian(140.0, 30.0)
+
+    a0, t0 = br.get_sky_radiance(params, luts, cam, d, sun, TINY)
+    a1, t1 = br.get_sky_radiance(params, packed, cam, d, sun, TINY)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), rtol=2e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=2e-5,
+                               atol=1e-7)
+
+    gp = cam + d * 5.0
+    a0, t0 = br.get_sky_radiance_to_point(params, luts, cam, gp, sun, TINY)
+    a1, t1 = br.get_sky_radiance_to_point(params, packed, cam, gp, sun,
+                                          TINY)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=2e-5,
+                               atol=1e-7)
+
+    nrm = cam / jnp.linalg.norm(cam, axis=-1, keepdims=True)
+    s0, k0 = br.get_sun_and_sky_irradiance(params, luts, cam, nrm, sun,
+                                           TINY)
+    s1, k1 = br.get_sun_and_sky_irradiance(params, packed, cam, nrm, sun,
+                                           TINY)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=2e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k0), rtol=2e-5,
+                               atol=1e-7)

@@ -22,6 +22,7 @@ import numpy as np
 from vpt_tpu.core.camera import Camera
 from vpt_tpu.lights.lights import PointLights
 from vpt_tpu.scene.geometry import Sphere
+from vpt_tpu.sky.envmap import pack_env_map
 from vpt_tpu.volume.grid import HostGrid, VolumeAtlas, build_atlas, load_vdb_grid
 
 
@@ -87,11 +88,14 @@ class Scene:
     emission_lut: jax.Array       # (256, 3) blackbody LUT
     density_color_lut: jax.Array  # (256, 3)
     majorant: Optional[MajorantGrid]
-    env_map: Optional[jax.Array]  # (H, W, 3) equirect radiance
+    env_map: Optional[jax.Array]  # (H, W, 12) corner-packed equirect
+    #                                 radiance (envmap.pack_env_map);
+    #                                 raw texels = env_map[..., 0:3]
     env_cdf: Optional[object]     # sky.cdf.EnvCDF tables (sky/env NEE)
     atmosphere: Optional[object] = None  # sky.runtime.Atmosphere (Bruneton)
-    # baked sky cache (sky.runtime.bake_sky_cache): (H, W, 6) equirect
-    # [radiance-without-sun-disc rgb | transmittance rgb], pre-tonemap.
+    # baked sky cache (sky.runtime.bake_sky_cache): (H, W, 24) equirect
+    # corner-packed rows of [radiance-without-sun-disc rgb |
+    # transmittance rgb] x 4 bilinear corners, pre-tonemap.
     # When present, the ATMOSPHERE terminal lookup becomes one bilinear
     # fetch (the full per-ray Bruneton evaluation measured 80% of the
     # planetary scenario's wall time).  Directional: re-bake on sun
@@ -237,7 +241,7 @@ def build_scene(
         emission_lut=jnp.asarray(emission_lut, jnp.float32),
         density_color_lut=jnp.asarray(density_color_lut, jnp.float32),
         majorant=majorant,
-        env_map=None if env_map is None else jnp.asarray(env_map, jnp.float32),
+        env_map=None if env_map is None else pack_env_map(env_map),
         env_cdf=None,
     )
 
@@ -291,7 +295,8 @@ def attach_env_map(scene: Scene, env_map: np.ndarray,
     if importance_sample:
         from vpt_tpu.sky.cdf import CDF_RES, build_envmap_cdf
         cdf = build_envmap_cdf(env, res=None if full_res_cdf else CDF_RES)
-    return dataclasses.replace(scene, env_map=env, env_cdf=cdf)
+    return dataclasses.replace(scene, env_map=pack_env_map(env),
+                               env_cdf=cdf)
 
 
 def attach_sky_cache(scene: Scene, azimuth: float, elevation: float,

@@ -179,6 +179,71 @@ class AtmosphereLUTs:
     irradiance: jax.Array     # (IH, IW, 3)
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PackedLUTs:
+    """Corner-packed runtime LUTs (round-3 perf surgery, VERDICT r2 #3).
+
+    In-loop/terminal gathers serialize per index on the TPU
+    (docs/ARCHITECTURE.md), so a bilinear tex2d (4 taps) costs 4
+    serialized gathers and the 4-D scattering lookup (2 trilinear taps
+    x 2 textures) costs 32.  Packing every texel's interpolation
+    corners into ONE row makes each probe ONE row gather (rows up to
+    128 floats cost the same as width-1): a full `sample_atmosphere`
+    terminal evaluation drops from ~124 serialized gathers to 13.
+    The rayleigh+multiple and single-mie scattering corners share one
+    48-wide row, halving the combined-scattering fetch.
+
+    Field names mirror AtmosphereLUTs so the runtime samplers accept
+    either container; the packed arrays are 2-D (texel-flat), which is
+    how the samplers dispatch."""
+
+    transmittance: jax.Array  # (TH*TW, 12)  [c00|c01|c10|c11] x rgb
+    scattering: jax.Array     # (R*MU*W, 48) [rayleigh 8 corners | mie 8]
+    irradiance: jax.Array     # (IH*IW, 12)
+
+
+def _pack2d(tex):
+    """(H, W, 3) -> (H*W, 12) rows of clamped bilinear corners."""
+    H, W = tex.shape[:2]
+    xp = jnp.minimum(jnp.arange(W) + 1, W - 1)
+    yp = jnp.minimum(jnp.arange(H) + 1, H - 1)
+    c00 = tex
+    c01 = tex[:, xp]
+    c10 = tex[yp]
+    c11 = tex[yp][:, xp]
+    return jnp.concatenate([c00, c01, c10, c11], axis=-1).reshape(H * W, 12)
+
+
+def _corners3d(tex):
+    """(D, H, W, 3) -> (D, H, W, 24): the 8 trilinear corners per
+    texel, x fastest (corner c: x+=c&1, y+=(c>>1)&1, z+=(c>>2)&1)."""
+    D, H, W = tex.shape[:3]
+    xp = jnp.minimum(jnp.arange(W) + 1, W - 1)
+    yp = jnp.minimum(jnp.arange(H) + 1, H - 1)
+    zp = jnp.minimum(jnp.arange(D) + 1, D - 1)
+    outs = []
+    for c in range(8):
+        t = tex
+        if c & 1:
+            t = t[:, :, xp]
+        if c & 2:
+            t = t[:, yp]
+        if c & 4:
+            t = t[zp]
+        outs.append(t)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def pack_luts(luts: AtmosphereLUTs) -> PackedLUTs:
+    scat = jnp.concatenate([_corners3d(luts.scattering),
+                            _corners3d(luts.single_mie)], axis=-1)
+    return PackedLUTs(
+        transmittance=_pack2d(luts.transmittance),
+        scattering=scat.reshape(-1, 48),
+        irradiance=_pack2d(luts.irradiance))
+
+
 def _spectral_tables(use_ozone=True, use_constant_solar=False):
     """Spectral tables at 10 nm bins (atmosphere.cpp:1195-1224)."""
     wl = np.arange(LAMBDA_MIN, LAMBDA_MAX + 1, 10, dtype=np.float64)
@@ -419,10 +484,32 @@ def tex3d(tex, u, v, w):
     return c0 * (1 - fz) + c1 * fz
 
 
+def tex2d_rows(ptex, H, W, u, v):
+    """Packed bilinear lookup: ONE row gather instead of 4 taps.
+    Bit-compatible with tex2d up to summation order."""
+    x = jnp.clip(u * W - 0.5, 0.0, W - 1.0)
+    y = jnp.clip(v * H - 0.5, 0.0, H - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    flat = y0 * W + x0
+    (flat,) = jax.lax.optimization_barrier((flat,))
+    rows = jnp.take(ptex, flat, axis=0)
+    (rows,) = jax.lax.optimization_barrier((rows,))
+    c00, c01 = rows[..., 0:3], rows[..., 3:6]
+    c10, c11 = rows[..., 6:9], rows[..., 9:12]
+    return ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
+            + (c10 * (1 - fx) + c11 * fx) * fy)
+
+
 def transmittance_to_top(p, luts_or_tex, r, mu, dims: LutDims):
     tex = (luts_or_tex.transmittance
            if hasattr(luts_or_tex, "transmittance") else luts_or_tex)
     u, v = _transmittance_uv_from_rmu(p, r, mu, dims)
+    if tex.ndim == 2:  # PackedLUTs rows
+        return tex2d_rows(tex, dims.transmittance_h, dims.transmittance_w,
+                          u, v)
     return tex2d(tex, u, v)
 
 
@@ -657,6 +744,8 @@ def compute_direct_irradiance_lut(p, ttex, dims: LutDims):
 
 def sample_irradiance(p, itex, r, mu_s, dims: LutDims):
     u, v = _irradiance_uv_from_rmus(p, r, mu_s, dims)
+    if itex.ndim == 2:  # PackedLUTs rows
+        return tex2d_rows(itex, dims.irradiance_h, dims.irradiance_w, u, v)
     return tex2d(itex, u, v)
 
 
@@ -996,7 +1085,49 @@ def precompute_luminance(dims: LutDims = LutDims(),
 # Runtime sky sampling (render_kernel.cu:369-895 device copies)
 # ---------------------------------------------------------------------------
 
+def _scat_rows_trilerp(prows, D, H, W, u, v, w):
+    """One packed 48-wide row gather -> (rayleigh+multiple, single-mie)
+    trilinear values (corner order matches _corners3d: x fastest)."""
+    x = jnp.clip(u * W - 0.5, 0.0, W - 1.0)
+    y = jnp.clip(v * H - 0.5, 0.0, H - 1.0)
+    z = jnp.clip(w * D - 0.5, 0.0, D - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    fx, fy, fz = x - x0, y - y0, z - z0
+    flat = (z0 * H + y0) * W + x0
+    (flat,) = jax.lax.optimization_barrier((flat,))
+    rows = jnp.take(prows, flat, axis=0)
+    (rows,) = jax.lax.optimization_barrier((rows,))
+    wx = (1.0 - fx, fx)
+    wy = (1.0 - fy, fy)
+    wz = (1.0 - fz, fz)
+    ray = 0.0
+    mie = 0.0
+    for c in range(8):
+        wgt = (wx[c & 1] * wy[(c >> 1) & 1] * wz[(c >> 2) & 1])[..., None]
+        ray = ray + rows[..., 3 * c:3 * c + 3] * wgt
+        mie = mie + rows[..., 24 + 3 * c:24 + 3 * c + 3] * wgt
+    return ray, mie
+
+
 def _combined_scattering(p, luts, r, mu, mu_s, nu, hits_ground, dims):
+    if luts.scattering.ndim == 2:  # PackedLUTs: 2 row gathers total
+        u_nu, u_mu_s, u_mu, u_r = _scattering_uvwz_from_rmumusnu(
+            p, r, mu, mu_s, nu, hits_ground, dims)
+        tex_x = u_nu * (dims.nu - 1.0)
+        tex_x0 = jnp.floor(tex_x)
+        lerp = (tex_x - tex_x0)[..., None]
+        u0 = (tex_x0 + u_mu_s) / dims.nu
+        u1 = (tex_x0 + 1.0 + u_mu_s) / dims.nu
+        ray0, mie0 = _scat_rows_trilerp(
+            luts.scattering, dims.r, dims.mu, dims.scattering_w,
+            u0, u_mu, u_r)
+        ray1, mie1 = _scat_rows_trilerp(
+            luts.scattering, dims.r, dims.mu, dims.scattering_w,
+            u1, u_mu, u_r)
+        return (ray0 * (1.0 - lerp) + ray1 * lerp,
+                mie0 * (1.0 - lerp) + mie1 * lerp)
     scat = sample_scattering(p, luts.scattering, r, mu, mu_s, nu,
                              hits_ground, dims)
     mie = sample_scattering(p, luts.single_mie, r, mu, mu_s, nu,

@@ -7,6 +7,7 @@ tonemap curve.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,15 +21,27 @@ import dataclasses as _dc
 
 @dataclass(frozen=True)
 class Atmosphere:
-    """Scene-attachable bundle: params + LUTs + static texture dims."""
+    """Scene-attachable bundle: params + LUTs + static texture dims.
+
+    ``packed`` (br.pack_luts) holds the corner-packed runtime tables:
+    when present, every terminal/ NEE atmosphere probe costs ONE row
+    gather per texture instead of 4-32 serialized taps (VERDICT r2 #3;
+    ~9x fewer terminal gathers on the planetary scenario)."""
 
     params: br.AtmosphereParams
     luts: br.AtmosphereLUTs
+    packed: Optional[br.PackedLUTs] = None
     dims: br.LutDims = _dc.field(metadata=dict(static=True),
                                  default_factory=br.LutDims)
 
+    @property
+    def sample_luts(self):
+        """The container the runtime samplers should read."""
+        return self.packed if self.packed is not None else self.luts
 
-jax.tree_util.register_dataclass(Atmosphere, data_fields=["params", "luts"],
+
+jax.tree_util.register_dataclass(Atmosphere,
+                                 data_fields=["params", "luts", "packed"],
                                  meta_fields=["dims"])
 
 
@@ -76,7 +89,8 @@ def make_atmosphere(dims: br.LutDims = br.LutDims(), cache_path=None,
         jax.block_until_ready(luts.transmittance)
         if cache_path:
             br.save_luts(cache_path, luts)
-    return Atmosphere(params=params, luts=luts, dims=dims)
+    return Atmosphere(params=params, luts=luts, packed=br.pack_luts(luts),
+                      dims=dims)
 
 
 def _sample_atmosphere_pre(atm: Atmosphere, ray_pos, ray_dir, azimuth,
@@ -109,16 +123,17 @@ def _sample_atmosphere_pre(atm: Atmosphere, ray_pos, ray_dir, azimuth,
     # ground shading
     gp = camera + view * dist[..., None]
     normal = normalize(gp)
+    luts = atm.sample_luts
     sun_irr, sky_irr = br.get_sun_and_sky_irradiance(
-        p, atm.luts, gp, normal, sun_direction, dims)
+        p, luts, gp, normal, sun_direction, dims)
     ground_radiance = (p.ground_albedo / jnp.pi
                        * (sun_irr * sun_k + sky_irr * sky_k))
     in_scatter_g, trans_g = br.get_sky_radiance_to_point(
-        p, atm.luts, camera, gp, sun_direction, dims)
+        p, luts, camera, gp, sun_direction, dims)
     ground_radiance = ground_radiance * trans_g + in_scatter_g * sky_k
 
     # sky (sun disc composed by the caller / _compose_sun_disc)
-    radiance, trans = br.get_sky_radiance(p, atm.luts, camera, view,
+    radiance, trans = br.get_sky_radiance(p, luts, camera, view,
                                           sun_direction, dims)
     radiance = radiance * sky_k
 
@@ -176,12 +191,18 @@ def bake_sky_cache(atm: Atmosphere, anchor_pos, azimuth, elevation,
                            dirs.shape)
     pre, trans = _sample_atmosphere_pre(atm, pos, dirs, azimuth,
                                         elevation, atm.dims)
-    return jnp.concatenate([pre, trans], axis=-1).reshape(height, width, 6)
+    tex = jnp.concatenate([pre, trans], axis=-1).reshape(height, width, 6)
+    # corner-pack the bilinear neighborhood (y clamped, x wrapping):
+    # the terminal lookup becomes ONE row gather instead of 4
+    xp = jnp.mod(jnp.arange(width) + 1, width)
+    yp = jnp.minimum(jnp.arange(height) + 1, height - 1)
+    return jnp.concatenate([tex, tex[:, xp], tex[yp], tex[yp][:, xp]],
+                           axis=-1)  # (H, W, 24)
 
 
 def sample_sky_cache(p, cache, ray_dir, azimuth, elevation):
-    """Bilinear equirect lookup of the baked cache + analytic sun disc
-    + the dynamic tonemap curve."""
+    """Equirect lookup of the baked corner-packed cache (one row
+    gather) + analytic sun disc + the dynamic tonemap curve."""
     view = normalize(ray_dir)
     h, w = cache.shape[0], cache.shape[1]
     theta = jnp.arccos(jnp.clip(view[..., 1], -1.0, 1.0))
@@ -189,17 +210,16 @@ def sample_sky_cache(p, cache, ray_dir, azimuth, elevation):
     y = jnp.clip(theta / jnp.pi * h - 0.5, 0.0, h - 1.0)
     x = phi / (2.0 * jnp.pi) * w - 0.5
     y0 = jnp.floor(y).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    fy = y - y0
+    fy = (y - y0)[..., None]
     x0f = jnp.floor(x)
-    fx = x - x0f
+    fx = (x - x0f)[..., None]
     x0 = jnp.mod(x0f.astype(jnp.int32), w)
-    x1 = jnp.mod(x0 + 1, w)
-    flat = cache.reshape(-1, 6)
-    v = (flat[y0 * w + x0] * ((1 - fy) * (1 - fx))[..., None]
-         + flat[y0 * w + x1] * ((1 - fy) * fx)[..., None]
-         + flat[y1 * w + x0] * (fy * (1 - fx))[..., None]
-         + flat[y1 * w + x1] * (fy * fx)[..., None])
+    flat = y0 * w + x0
+    (flat,) = jax.lax.optimization_barrier((flat,))
+    rows = jnp.take(cache.reshape(-1, 24), flat, axis=0)
+    (rows,) = jax.lax.optimization_barrier((rows,))
+    v = ((rows[..., 0:6] * (1 - fx) + rows[..., 6:12] * fx) * (1 - fy)
+         + (rows[..., 12:18] * (1 - fx) + rows[..., 18:24] * fx) * fy)
     sun_direction = degree_to_cartesian(azimuth, elevation)
     return _compose_sun_disc(p, v[..., 0:3], v[..., 3:6], view,
                              sun_direction)
