@@ -79,3 +79,33 @@ def test_fused_alpha_matches(scene):
     a = np.asarray(f_ref.alpha)
     b = np.asarray(f_fus.alpha)
     assert abs(b.mean() - a.mean()) / max(a.mean(), 1e-9) < 0.1
+
+
+def test_fused_ray_queues_match(scene):
+    """rays_per_lane=4 (per-lane ray queues) is the same estimator as
+    Q=1: each lane traces 4 rays sequentially, retiring and reloading
+    inside the loop (round-3 utilization lever)."""
+    f1 = ProgressiveRenderer(
+        scene, RenderParams(engine="fused", **BASE)).render(16)
+    f4 = ProgressiveRenderer(
+        scene, RenderParams(engine="fused", rays_per_lane=4,
+                            **BASE)).render(16)
+    a = np.asarray(f1.accum)
+    b = np.asarray(f4.accum)
+    assert np.isfinite(b).all() and (b >= 0).all()
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())
+    aa = np.asarray(f1.alpha)
+    ba = np.asarray(f4.alpha)
+    assert abs(ba.mean() - aa.mean()) / max(aa.mean(), 1e-9) < 0.1
+
+
+def test_fused_ray_queues_deterministic_and_guarded(scene):
+    p = RenderParams(engine="fused", rays_per_lane=4, seed=3, **BASE)
+    f1 = ProgressiveRenderer(scene, p).render(2)
+    f2 = ProgressiveRenderer(scene, p).render(2)
+    np.testing.assert_array_equal(np.asarray(f1.accum), np.asarray(f2.accum))
+    # HDRI/ATMOSPHERE env is rejected (env applied inline at retire)
+    bad = dataclasses.replace(
+        p, environment_type=int(Environment.ATMOSPHERE))
+    with pytest.raises(ValueError):
+        ProgressiveRenderer(scene, bad).render(1)

@@ -205,3 +205,82 @@ def test_rebake_replaces_old_channels(lit_scene):
     ta = np.asarray(a.atlas.density_corners)[:, 15:23]
     tb = np.asarray(b.atlas.density_corners)[:, 15:23]
     assert not np.allclose(ta, tb)  # opposite sun -> different field
+
+
+def _instanced_lit_scene():
+    """Small instanced scene with a point light (world-cache tests)."""
+    rng = np.random.RandomState(5)
+    ids, xforms = [], []
+    for i in range(12):
+        xf = np.diag([0.2, 0.2, 0.2, 1.0])
+        xf[3, :3] = rng.uniform(0.0, 5.0, 3)
+        ids.append(0)
+        xforms.append(xf)
+    lights = PointLights.make([[8.0, 9.0, 8.0]], [[1.0, 1.0, 1.0]],
+                              [200.0])
+    scene = build_scene([_blob_grid(n=16)], instance_grid_ids=ids,
+                        instance_xforms=xforms, lights=lights,
+                        instance_list_threshold=4)
+    c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+    d = float(np.linalg.norm(np.asarray(scene.root_pmax)
+                             - np.asarray(scene.root_pmin))) * 1.2
+    cam = Camera.make(c + np.array([0.0, 0.1 * d, d]), c, vfov=45.0,
+                      aspect=1.0)
+    return dataclasses.replace(scene, camera=cam)
+
+
+def test_world_shadow_cache_tau_accuracy():
+    """World tau grid vs brute quadrature of the exact summed density
+    along the sun direction (multi-instance cached shadows)."""
+    from vpt_tpu.accel.shadow import world_tau_fetch
+    from vpt_tpu.core.vecmath import aabb_intersect, degree_to_cartesian
+    from vpt_tpu.render.tracking import scene_density
+
+    scene = _instanced_lit_scene()
+    az, el = 150.0, 30.0
+    cs = attach_shadow_cache(scene, azimuth=az, elevation=el,
+                             world_resolution=128)
+    assert cs.world_tau is not None and cs.world_tau.shape[-1] == 16
+
+    rng = np.random.RandomState(1)
+    lo = np.asarray(scene.root_pmin)
+    hi = np.asarray(scene.root_pmax)
+    pts = rng.uniform(lo + 0.5, hi - 0.5, size=(64, 3)).astype(np.float32)
+    tau_cached = np.asarray(world_tau_fetch(cs, pts))[:, 0]
+
+    sun = np.asarray(degree_to_cartesian(az, el))
+    import jax.numpy as jnp
+    _, _, dist = aabb_intersect(scene.root_pmin, scene.root_pmax,
+                                jnp.asarray(pts),
+                                jnp.broadcast_to(sun, pts.shape))
+    dist = np.maximum(np.asarray(dist), 0.0)
+    n_q = 400
+    tq = (np.arange(n_q) + 0.5) / n_q
+    pos = pts[:, None, :] + sun[None, None, :] * (dist[:, None, None]
+                                                  * tq[None, :, None])
+    dens = np.asarray(scene_density(scene, pos.reshape(-1, 3))).reshape(
+        64, n_q)
+    tau_brute = (dens * (dist[:, None] / n_q)).sum(axis=1)
+    # transmittance-level agreement (tau errors matter through exp)
+    err = np.abs(np.exp(-tau_cached) - np.exp(-tau_brute)).max()
+    assert err < 0.03, err
+
+
+def test_world_shadow_cache_render_matches_tracked():
+    """shadow_mode='cached' on an INSTANCED scene agrees with the
+    tracked estimator within MC noise (the multi-instance analog of
+    test_cached_matches_tracked_mean)."""
+    scene = _instanced_lit_scene()
+    kw = dict(width=32, height=32, ray_depth=4, max_track_steps=64,
+              max_fused_steps=256,
+              environment_type=int(Environment.BLACK))
+    a = np.asarray(ProgressiveRenderer(
+        scene, RenderParams(**kw)).render(12).accum)
+    cs = attach_shadow_cache(scene, azimuth=150.0, elevation=30.0,
+                             world_resolution=128)
+    b = np.asarray(ProgressiveRenderer(
+        cs, RenderParams(**kw).replace(shadow_mode="cached")).render(
+            12).accum)
+    assert np.isfinite(b).all()
+    assert a.mean() > 0
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())

@@ -1,0 +1,76 @@
+"""Union-grid resampling (volume/union.py): field accuracy against the
+exact multi-instance fetch, and render-level agreement of the
+collapsed scene with the exact instanced path."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from tests.golden_scenes import _blob
+from vpt_tpu.render.params import Environment, RenderParams
+from vpt_tpu.render.renderer import ProgressiveRenderer
+from vpt_tpu.scene.scene import build_scene
+from vpt_tpu.volume.union import build_union_scene, resample_union_grid
+
+
+def _instanced(n_side=3, n=16, seed=3):
+    rng = np.random.RandomState(seed)
+    ids, xforms = [], []
+    for i in range(n_side ** 3):
+        iz, iy, ix = np.unravel_index(i, (n_side,) * 3)
+        xf = np.diag([0.2, 0.2, 0.2, 1.0])
+        xf[3, :3] = (np.array([ix, iy, iz], np.float64) * 3.0
+                     + rng.uniform(-0.8, 0.8, 3))
+        ids.append(0)
+        xforms.append(xf)
+    return [_blob(n=n)], ids, xforms
+
+
+def test_union_density_matches_exact_fetch():
+    grids, ids, xforms = _instanced()
+    union = resample_union_grid(grids, ids, xforms, resolution=192)
+    scene = build_scene(grids, instance_grid_ids=ids,
+                        instance_xforms=xforms)
+
+    from vpt_tpu.render.tracking import scene_density
+    rng = np.random.RandomState(0)
+    lo = np.asarray(scene.root_pmin)
+    hi = np.asarray(scene.root_pmax)
+    pts = rng.uniform(lo, hi, size=(4000, 3)).astype(np.float32)
+    exact = np.asarray(scene_density(scene, pts))
+
+    uscene = build_scene([union], corner_dtype="float32")
+    u = np.asarray(scene_density(uscene, pts))
+    # smooth blobs at ~2x instance-voxel pitch: small pointwise error
+    err = np.abs(u - exact).mean()
+    assert err < 0.02 * max(exact.max(), 1e-6), (err, exact.max())
+    # integral (mean) agreement is tighter
+    assert abs(u.mean() - exact.mean()) / max(exact.mean(), 1e-9) < 0.02
+
+
+@pytest.mark.parametrize("cached", [False, True])
+def test_union_render_matches_exact(cached):
+    grids, ids, xforms = _instanced()
+    kw = dict(width=32, height=32, ray_depth=4, max_track_steps=64,
+              max_fused_steps=256,
+              environment_type=int(Environment.CONSTANT))
+    scene = build_scene(grids, instance_grid_ids=ids,
+                        instance_xforms=xforms)
+    uscene = build_union_scene(grids, ids, xforms, resolution=192)
+    from tests.golden_scenes import _camera
+    scene = _camera(scene)
+    uscene = dataclasses.replace(uscene, camera=scene.camera)
+
+    params = RenderParams(**kw)
+    uparams = params
+    if cached:
+        from vpt_tpu.accel.shadow import attach_shadow_cache
+        uscene = attach_shadow_cache(uscene, azimuth=150.0, elevation=30.0)
+        uparams = params.replace(shadow_mode="cached")
+
+    a = np.asarray(ProgressiveRenderer(scene, params).render(8).accum)
+    b = np.asarray(ProgressiveRenderer(uscene, uparams).render(8).accum)
+    assert np.isfinite(b).all()
+    assert a.mean() > 0
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.08, (a.mean(), b.mean())

@@ -197,16 +197,21 @@ def build_majorant_grid(host_grids, instance_grid_ids, xforms,
     packed = np.concatenate([t_box.reshape(-1, 1),
                              ext.reshape(6, -1).T], axis=-1)
     cell_instances = None
+    cell_rows = None
     if build_instance_lists:
-        cell_instances = jnp.asarray(_build_cell_lists(
-            inst_cells, len(instance_grid_ids), R,
-            pad_cells=max(r_cells, 1)))
+        table = _build_cell_lists(inst_cells, len(instance_grid_ids), R,
+                                  pad_cells=max(r_cells, 1))
+        cell_instances = jnp.asarray(table)
+        assert len(instance_grid_ids) < (1 << 24)
+        cell_rows = jnp.asarray(np.concatenate(
+            [packed.astype(np.float32), table.astype(np.float32)], axis=1))
     return MajorantGrid(
         max_density=jnp.asarray(grid_max),
         occupied=jnp.asarray(occ),
         skip_dist=jnp.asarray(skip),
         packed=jnp.asarray(packed),
         cell_instances=cell_instances,
+        cell_rows=cell_rows,
     )
 
 

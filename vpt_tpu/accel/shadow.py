@@ -263,22 +263,32 @@ def n_cached_lights(atlas) -> int:
 
 
 def attach_shadow_cache(scene, azimuth: float, elevation: float,
-                        step_vox: float = 0.5):
-    """Bake sun + point-light optical-depth fields into the corner
-    rows of a single-instance scene.  Returns a new Scene whose
-    ``atlas.density_corners`` is (V, 15 + 8*(1+L)); render with
-    ``RenderParams(shadow_mode="cached", azimuth=..., elevation=...)``
-    (the azimuth/elevation MUST match — the bake is directional).
+                        step_vox: float = 0.5,
+                        world_resolution: int = 192):
+    """Bake sun + point-light optical-depth fields.
 
-    Re-call after moving the sun or the lights (sub-second host pass).
+    Single-instance scenes bake the taus into the unified corner rows
+    (``atlas.density_corners`` becomes (V, 15 + 8*(1+L))) — the NEE
+    transmittances ride the same gather as the collision density.
+    Multi-instance scenes bake a WORLD-SPACE tau grid instead
+    (``scene.world_tau``, round 3 / VERDICT r2 #2): the union density
+    is resampled onto a ``world_resolution`` grid over the root box,
+    swept for sun/point-light optical depths, and fetched with ONE
+    extra corner-row gather per step — the per-event shadow walks
+    (1 + n_lights tracked walks of K-gather steps each) disappear.
+    Deterministic quadrature+resampling error; bounded in
+    tests/test_shadow.py::test_world_shadow_cache_*.
+
+    Render with ``RenderParams(shadow_mode="cached", azimuth=...,
+    elevation=...)`` (the angles MUST match — the bake is directional).
+    Re-call after moving the sun or the lights.
     """
     from vpt_tpu.core.vecmath import degree_to_cartesian
     from vpt_tpu.volume.grid import _corner_pack_plain
 
     if scene.instances.count != 1:
-        raise ValueError("shadow cache v1 supports single-instance "
-                         "scenes (multi-instance scenes keep tracked "
-                         "shadow walks)")
+        return _attach_world_shadow_cache(scene, azimuth, elevation,
+                                          step_vox, world_resolution)
     n_lights = int(scene.lights.count)
     if n_lights > MAX_CACHED_LIGHTS:
         raise ValueError(f"shadow cache supports <= {MAX_CACHED_LIGHTS} "
@@ -312,3 +322,117 @@ def attach_shadow_cache(scene, azimuth: float, elevation: float,
     new_atlas = dataclasses.replace(atlas,
                                     density_corners=jnp.asarray(rows))
     return dataclasses.replace(scene, atlas=new_atlas)
+
+
+def _union_density_from_scene(scene, resolution: int):
+    """Resample the scene's summed instance density onto a world grid
+    over the root box (see volume/union.py for the semantics).
+
+    Returns (density (nz, ny, nx), cell (float), root_pmin (3,)).
+    """
+    atlas = scene.atlas
+    if atlas.density is None:
+        raise ValueError("world shadow cache needs the raw density "
+                         "(build_scene(keep_raw_density=True))")
+    root_pmin = np.asarray(scene.root_pmin, np.float64)
+    root_pmax = np.asarray(scene.root_pmax, np.float64)
+    extent = root_pmax - root_pmin
+    cell = float(extent.max()) / int(resolution)
+    dim = np.maximum(np.ceil(extent / cell).astype(np.int64), 1)
+    nx, ny, nz = int(dim[0]), int(dim[1]), int(dim[2])
+    dens = np.zeros((nz, ny, nx), np.float32)
+
+    density_flat = np.asarray(atlas.density)
+    offs = np.asarray(atlas.offset)
+    dims = np.asarray(atlas.dim)
+    bmins = np.asarray(atlas.bmin)
+    gids = np.asarray(scene.instances.grid_id)
+    invs = np.asarray(scene.instances.inv_xform, np.float64)
+    pmins = np.asarray(scene.instances.pmin, np.float64)
+    pmaxs = np.asarray(scene.instances.pmax, np.float64)
+    grid_cache = {}
+    for i in range(int(scene.instances.count)):
+        g = int(gids[i])
+        if g not in grid_cache:
+            gx, gy, gz = int(dims[g][0]), int(dims[g][1]), int(dims[g][2])
+            off = int(offs[g])
+            grid_cache[g] = density_flat[off:off + gx * gy * gz].reshape(
+                gz, gy, gx)
+        vol = grid_cache[g]
+        lo = np.clip(np.floor((pmins[i] - root_pmin) / cell).astype(
+            np.int64) - 1, 0, dim - 1)
+        hi = np.clip(np.ceil((pmaxs[i] - root_pmin) / cell).astype(
+            np.int64) + 1, 0, dim - 1)
+        zz, yy, xx = np.meshgrid(np.arange(lo[2], hi[2] + 1),
+                                 np.arange(lo[1], hi[1] + 1),
+                                 np.arange(lo[0], hi[0] + 1), indexing="ij")
+        wpos = (np.stack([xx, yy, zz], axis=-1).astype(np.float64) + 0.5) \
+            * cell + root_pmin
+        inv = invs[i]
+        ipos = (wpos.reshape(-1, 3) @ inv[:3, :3] + inv[3, :3]
+                - (np.asarray(bmins[g], np.float64) + 0.5))
+        d = _trilinear_index(vol, ipos.reshape(zz.shape + (3,)))
+        dens[lo[2]:hi[2] + 1, lo[1]:hi[1] + 1, lo[0]:hi[0] + 1] += d
+    return dens, cell, root_pmin
+
+
+def _attach_world_shadow_cache(scene, azimuth, elevation, step_vox,
+                               resolution):
+    """Multi-instance branch of attach_shadow_cache (see its doc)."""
+    import dataclasses as _dc
+
+    from vpt_tpu.core.vecmath import degree_to_cartesian
+    from vpt_tpu.volume.grid import _corner_pack_plain
+
+    n_lights = int(scene.lights.count)
+    if n_lights > MAX_CACHED_LIGHTS:
+        raise ValueError(f"shadow cache supports <= {MAX_CACHED_LIGHTS} "
+                         f"point lights (scene has {n_lights})")
+    dens, cell, root_pmin = _union_density_from_scene(scene, resolution)
+    nz, ny, nx = dens.shape
+
+    sun_dir = np.asarray(degree_to_cartesian(azimuth, elevation),
+                         np.float64)
+    # isotropic world cells: index-space direction == world direction,
+    # one index step covers `cell` world units
+    tau_sun = directional_tau_nodes(dens, sun_dir, cell,
+                                    step_vox=step_vox)
+    channels = [_corner_pack_plain(tau_sun)]
+
+    xf = np.diag([cell, cell, cell, 1.0])
+    xf[3, :3] = root_pmin
+    lpos = np.asarray(scene.lights.pos, np.float64)
+    for i in range(n_lights):
+        tau_l = point_tau_nodes(dens, xf, np.zeros(3), lpos[i])
+        channels.append(_corner_pack_plain(tau_l))
+
+    rows = np.concatenate(channels, axis=1).reshape(
+        nz, ny, nx, 8 * (1 + n_lights))
+    return _dc.replace(scene, world_tau=jnp.asarray(rows))
+
+
+def world_tau_fetch(scene, pos):
+    """(..., 1+L) cached optical depths from the world tau grid: ONE
+    corner-row gather + trilinear (the multi-instance analog of the
+    in-row tau channels)."""
+    wt = scene.world_tau  # (nz, ny, nx, 8*(1+L))
+    nz, ny, nx = wt.shape[0], wt.shape[1], wt.shape[2]
+    n_ch = wt.shape[3] // 8
+    dimf = jnp.asarray([nx, ny, nz], jnp.float32)
+    extent = scene.root_pmax - scene.root_pmin
+    cell = jnp.max(extent) / jnp.float32(max(nx, ny, nz))
+    x = jnp.clip((pos - scene.root_pmin) / cell - 0.5, 0.0, dimf - 1.0)
+    i0f = jnp.floor(x)
+    frac = x - i0f
+    i0 = i0f.astype(jnp.int32)
+    flat = (i0[..., 2] * ny + i0[..., 1]) * nx + i0[..., 0]
+    import jax
+
+    from vpt_tpu.render.tracking import _trilerp_weights
+    (flat,) = jax.lax.optimization_barrier((flat,))
+    rows = jnp.take(wt.reshape(-1, wt.shape[3]), flat, axis=0)
+    (rows,) = jax.lax.optimization_barrier((rows,))
+    w8 = _trilerp_weights(frac)
+    return jnp.stack(
+        [jnp.sum(rows[..., 8 * c:8 * c + 8] * w8, axis=-1)
+         for c in range(n_ch)], axis=-1)

@@ -85,7 +85,35 @@ def fused_direct(scene, params, key, origin, direction,
 
     phase_counts=True additionally returns a (B, 6) int32 array of
     per-ray step-kind counters — the diagnostic that motivated the
-    free-flight merge and the cached-shadow mode (accel/shadow.py)."""
+    free-flight merge and the cached-shadow mode (accel/shadow.py).
+
+    params.rays_per_lane = Q > 1 runs per-lane RAY QUEUES: the batch
+    is split into Q slots of B = len/Q lanes; each lane traces its Q
+    rays sequentially, retiring a finished ray and loading the next
+    inside the SAME loop iteration.  Idle-lane waste (~65% of gather
+    cost at Q=1 — a tile runs to its slowest ray) drops to the
+    variance of per-lane SUMS, so per-tile iterations approach
+    Q x mean instead of Q x max.  Terminal environment light is
+    applied inline at retire time, which restricts Q > 1 to
+    BLACK/CONSTANT environments (position-independent env)."""
+    Q = max(int(params.rays_per_lane), 1)
+    if Q > 1:
+        from vpt_tpu.render.params import Environment
+        if params.environment_type not in (int(Environment.BLACK),
+                                           int(Environment.CONSTANT)):
+            raise ValueError(
+                "rays_per_lane > 1 supports BLACK/CONSTANT environments "
+                "only (terminal env is applied inline at ray retire)")
+        if phase_counts or return_state:
+            raise ValueError("rays_per_lane > 1 does not support "
+                             "phase_counts/return_state")
+        if origin.shape[0] % Q:
+            raise ValueError(f"ray count {origin.shape[0]} not divisible "
+                             f"by rays_per_lane {Q}")
+        origins_q = origin.reshape(Q, -1, 3)
+        dirs_q = direction.reshape(Q, -1, 3)
+        origin = origins_q[0]
+        direction = dirs_q[0]
     B = origin.shape[0]
     sigma_max = scene.max_extinction
     sigma_c = scene.min_extinction
@@ -104,19 +132,27 @@ def fused_direct(scene, params, key, origin, direction,
              scene.lights.power[:, None]], axis=1)  # (L, 7)
 
     # cached-shadow mode (accel/shadow.py): NEE transmittances come
-    # from optical-depth channels riding the density corner row — the
-    # medium event's whole light loop costs ZERO walk iterations.
-    # STATIC switch: it reshapes the trace.
+    # from optical-depth channels riding the density corner row
+    # (single-instance) or a world-space tau grid fetched with one
+    # extra row gather (multi-instance) — the medium event's whole
+    # light loop costs ZERO walk iterations.  STATIC switch: it
+    # reshapes the trace.
+    world_cached = (params.shadow_mode == "cached"
+                    and scene.instances.count != 1
+                    and scene.world_tau is not None)
     cached_shadows = (params.shadow_mode == "cached"
-                      and scene.instances.count == 1)
+                      and scene.instances.count == 1) or world_cached
     # single-instance scenes fetch EVERY channel from the unified
     # corner row (unified_fetch_full); multi-instance scenes get the
     # same banded (density, s_box, T_box) contract from the majorant
     # cell grid's packed rows
     full_fetch = scene.instances.count == 1 and not _use_cells(scene)
     if cached_shadows:
-        from vpt_tpu.accel.shadow import n_cached_lights
-        n_ch = n_cached_lights(scene.atlas)
+        if world_cached:
+            n_ch = scene.world_tau.shape[-1] // 8 - 1
+        else:
+            from vpt_tpu.accel.shadow import n_cached_lights
+            n_ch = n_cached_lights(scene.atlas)
         if n_ch != n_lights:
             raise ValueError(
                 f"shadow cache has {n_ch} light channels but the scene "
@@ -232,9 +268,78 @@ def fused_direct(scene, params, key, origin, direction,
                 contrib, dist, t, skip, tbox, sphere_lim, phase, ascode,
                 nshadow, depth_n, depth_aov, cost, step, vd)
 
+    def _const_env(beta):
+        """Inline terminal env for the queue path (BLACK/CONSTANT:
+        position-independent, so no env_pos deferral is needed)."""
+        from vpt_tpu.render.params import Environment
+        if params.environment_type == int(Environment.CONSTANT):
+            return vec3_param(params.sky_color) * params.sky_mult * beta
+        return jnp.zeros_like(beta)
+
+    def _slot_select(slot, table_q):
+        """Per-lane row from a (Q, B, 3) table by slot — a Q-way
+        where-chain (pure VPU, no gather)."""
+        out = table_q[0]
+        for q in range(1, Q):
+            out = jnp.where((slot == q)[..., None], table_q[q], out)
+        return out
+
+    def retire_reload(state):
+        """Queue bookkeeping, run at the top of every iteration:
+        finished lanes write their ray's outputs into their slot and
+        load the next ray as P_SEEK (classified by seek_block in the
+        SAME iteration — a retire costs zero extra loop trips)."""
+        (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr, contrib,
+         dist, t, skip, tbox, sphere_lim, phase, ascode, nshadow, depth_n,
+         depth_aov, cost, step, vd, slot, o_l, o_a, o_c, o_d,
+         o_done) = state
+        fin = (phase == P_DONE) & (slot < Q)
+        l_fin = L + _const_env(beta)
+        m = (jnp.arange(Q)[:, None] == slot[None, :]) & fin[None, :]
+        o_l = jnp.where(m[..., None], l_fin[None], o_l)
+        o_a = jnp.where(m, jnp.minimum(alpha, 1.0)[None], o_a)
+        o_c = jnp.where(m, cost.astype(jnp.float32)[None], o_c)
+        o_d = jnp.where(m, depth_aov[None], o_d)
+        o_done = o_done | m
+        slot = slot + fin.astype(jnp.int32)
+        more = fin & (slot < Q)
+        new_o = _slot_select(slot, origins_q)
+        new_d = _slot_select(slot, dirs_q)
+        mm = more[..., None]
+        pos = jnp.where(mm, new_o, pos)
+        dirn = jnp.where(mm, new_d, dirn)
+        anchor = jnp.where(mm, new_o, anchor)
+        sdir = jnp.where(mm, new_d, sdir)
+        env_pos = jnp.where(mm, new_o, env_pos)
+        beta = jnp.where(mm, 1.0, beta)
+        L = jnp.where(mm, 0.0, L)
+        alpha = jnp.where(more, 0.0, alpha)
+        tr = jnp.where(more, 1.0, tr)
+        contrib = jnp.where(mm, 0.0, contrib)
+        dist = jnp.where(more, 0.0, dist)
+        t = jnp.where(more, 0.0, t)
+        skip = jnp.where(more, 0.0, skip)
+        tbox = jnp.where(more, 0.0, tbox)
+        sphere_lim = jnp.where(more, False, sphere_lim)
+        ascode = jnp.where(more, 0, ascode)
+        nshadow = jnp.where(more, 0, nshadow)
+        depth_n = jnp.where(more, 0, depth_n)
+        depth_aov = jnp.where(more, 0.0, depth_aov)
+        cost = jnp.where(more, 0, cost)
+        vd = jnp.where(more, 0, vd)
+        phase = jnp.where(more, P_SEEK, phase)
+        return (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr,
+                contrib, dist, t, skip, tbox, sphere_lim, phase, ascode,
+                nshadow, depth_n, depth_aov, cost, step, vd, slot, o_l,
+                o_a, o_c, o_d, o_done)
+
     def body(state):
         kstep = jax.random.fold_in(key, state[21])
         u = jax.random.uniform(kstep, (B, 5))
+
+        if Q > 1:
+            state = retire_reload(state)
+        qstate = state[23:] if Q > 1 else ()
 
         (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr, contrib,
          dist, t, skip, tbox, sphere_lim, phase, ascode, nshadow, depth_n,
@@ -283,6 +388,9 @@ def fused_direct(scene, params, key, origin, direction,
         else:
             density, s_new, tbox_new = unified_fetch(scene, params, cursor,
                                                      dirn, banded=True)
+            if world_cached:
+                from vpt_tpu.accel.shadow import world_tau_fetch
+                taus = world_tau_fetch(scene, cursor)
         s_old, t_old = skip, tbox   # the box the step was DRAWN in
         skip = jnp.where(walking, jnp.where(exited, 0.0, s_new), skip)
         tbox = jnp.where(walking, jnp.where(exited, 0.0, tbox_new), tbox)
@@ -365,8 +473,9 @@ def fused_direct(scene, params, key, origin, direction,
         hg_dir, _ = phase_sample(params, dirn, jax.random.fold_in(kstep, 7))
         anchor = jnp.where(accept[..., None], cursor, anchor)
         sdir = jnp.where(accept[..., None], hg_dir, sdir)
+        cur_origin = _slot_select(qstate[0], origins_q) if Q > 1 else origin
         depth_aov = jnp.where(accept & (depth_aov == 0.0),
-                              length(cursor - origin), depth_aov)
+                              length(cursor - cur_origin), depth_aov)
 
         cos_sun = jnp.sum(sdir * sun_dir, axis=-1)
         sun_contrib = (vec3_param(params.sun_color) * params.sun_mult
@@ -515,7 +624,7 @@ def fused_direct(scene, params, key, origin, direction,
 
         ret = (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr,
                contrib, dist, t, skip, tbox, sphere_lim, phase, ascode,
-               nshadow, depth_n, depth_aov, cost, step + 1, vd)
+               nshadow, depth_n, depth_aov, cost, step + 1, vd) + qstate
         return ret + (pcnt,) if phase_counts else ret
 
     zf = jnp.zeros(B, jnp.float32)
@@ -530,17 +639,42 @@ def fused_direct(scene, params, key, origin, direction,
     # the loop already MARCHing / in the sphere's sun walk / DONE
     k0 = jax.random.fold_in(key, 1 << 20)
     state = seek_block(k0, jax.random.uniform(k0, (B, 5)), state)
+    if Q > 1:
+        state = state + (zi,                                # slot
+                         jnp.zeros((Q, B, 3), jnp.float32),  # out L
+                         jnp.zeros((Q, B), jnp.float32),     # out alpha
+                         jnp.zeros((Q, B), jnp.float32),     # out cost
+                         jnp.zeros((Q, B), jnp.float32),     # out depth
+                         jnp.zeros((Q, B), bool))            # out done
     if phase_counts:
         state = state + (jnp.zeros((B, 7), jnp.int32),)
 
+    budget = params.max_fused_steps * Q
     if params.fused_loop_mode == "fori":
-        state = jax.lax.fori_loop(0, params.max_fused_steps,
-                                  lambda i, s: body(s), state)
+        state = jax.lax.fori_loop(0, budget, lambda i, s: body(s), state)
     else:
-        def cond(s):
-            phase, step = s[15], s[21]
-            return (step < params.max_fused_steps) & jnp.any(phase != P_DONE)
+        if Q > 1:
+            def cond(s):
+                phase, step, slot = s[15], s[21], s[23]
+                live = ~((phase == P_DONE) & (slot >= Q))
+                return (step < budget) & jnp.any(live)
+        else:
+            def cond(s):
+                phase, step = s[15], s[21]
+                return (step < budget) & jnp.any(phase != P_DONE)
         state = jax.lax.while_loop(cond, body, state)
+
+    if Q > 1:
+        # rays finishing exactly at the last iteration still need their
+        # retire write; unfinished slots stay o_done=False (truncated)
+        state = retire_reload(state)
+        _slot, o_l, o_a, o_c, o_d, o_done = state[23:29]
+        L = o_l.reshape(Q * B, 3)
+        alpha = o_a.reshape(Q * B)
+        cost = o_c.reshape(Q * B)
+        depth_aov = o_d.reshape(Q * B)
+        unfinished = 1.0 - o_done.reshape(Q * B).astype(jnp.float32)
+        return L, alpha, cost, unfinished, depth_aov
 
     (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr, contrib, dist,
      t, skip, tbox, sphere_lim, phase, ascode, nshadow, depth_n, depth_aov,

@@ -147,6 +147,50 @@ def _cell_rows(scene, pos):
     return valid, rows
 
 
+def _cells_banded_fetch(scene, pos, direction):
+    """(density, s_box, t_box) for instanced scenes from ONE combined
+    cell-row gather (MajorantGrid.cell_rows: [T_box, empty-box ext 6,
+    instance ids K]) + the K candidate corner-row gathers — one fewer
+    serialized gather per tracking step than the split cell-list +
+    majorant-row path (round 3)."""
+    major = scene.majorant
+    R = major.occupied.shape[0]
+    cs = (scene.root_pmax - scene.root_pmin) / R
+    rel = (pos - scene.root_pmin) / cs
+    ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, R - 1)
+    flat = (ci[..., 2] * R + ci[..., 1]) * R + ci[..., 0]
+    (flat,) = jax.lax.optimization_barrier((flat,))
+    row = jnp.take(major.cell_rows, flat, axis=0)  # (..., 7+K)
+    (row,) = jax.lax.optimization_barrier((row,))
+    t_box = row[..., 0]
+    ext_m = jnp.maximum(row[..., 1:4], 0.0)
+    ext_p = jnp.maximum(row[..., 4:7], 0.0)
+    cube_min = scene.root_pmin + (ci.astype(jnp.float32) - ext_m) * cs
+    cube_max = scene.root_pmin + (ci.astype(jnp.float32) + 1.0 + ext_p) * cs
+    inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-12, 1e-12, direction)
+    t1 = (cube_min - pos) * inv
+    t2 = (cube_max - pos) * inv
+    s_box = jnp.maximum(jnp.min(jnp.maximum(t1, t2), axis=-1), 0.0)
+
+    ids = row[..., 7:].astype(jnp.int32)
+    valid = ids >= 0
+    n_inst = scene.instances.packed_rows.shape[0]
+    if n_inst <= 4096:
+        oh = jax.nn.one_hot(jnp.maximum(ids, 0), n_inst,
+                            dtype=jnp.float32)
+        rows = oh @ scene.instances.packed_rows  # (..., K, 24)
+    else:
+        rows = jnp.take(scene.instances.packed_rows, jnp.maximum(ids, 0),
+                        axis=0)
+        (rows,) = jax.lax.optimization_barrier((rows,))
+    K = rows.shape[-2]
+    density = jnp.zeros(pos.shape[:-1], jnp.float32)
+    for k in range(K):
+        d = _density_from_row(scene.atlas, rows[..., k, :], pos)
+        density = density + jnp.where(valid[..., k], d, 0.0)
+    return density, s_box, t_box
+
+
 def _scene_density_cells(scene, pos):
     """Gather-over-candidates density sum (render_kernel.cu:1003-1014
     over the per-cell instance list)."""
@@ -267,7 +311,12 @@ def unified_fetch(scene, params, pos, direction, with_tau: bool = False,
         return _unified_fetch_single(scene, params, pos, direction,
                                      with_tau, banded)
     if with_tau:
-        raise ValueError("shadow cache requires a single-instance scene")
+        raise ValueError("in-row shadow taus require a single-instance "
+                         "scene (instanced scenes use the world tau "
+                         "grid, accel.shadow.world_tau_fetch)")
+    if (banded and params.use_majorant and _use_cells(scene)
+            and scene.majorant.cell_rows is not None):
+        return _cells_banded_fetch(scene, pos, direction)
     density = scene_density(scene, pos)
     if not params.use_majorant or scene.majorant is None:
         zero = jnp.zeros_like(density)
