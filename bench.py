@@ -365,6 +365,41 @@ def main():
               *measure(uscene, params, "config5_4k_union"),
               n_instances=4096, mode="union320")
 
+    if want("bigvol_512") and ENGINE == "fused":
+      with guard("bigvol_512"):
+          # beyond-HBM memory-model proof (VERDICT r2 #10): a
+          # production-size 512^3 procedural grid through the bf16
+          # corner table (build_scene(corner_dtype="bfloat16") —
+          # ROADMAP "production-size volumes").  f32 corners at this
+          # size are ~8 GB and do not fit v5e HBM alongside the
+          # banded/skip channels; bf16 halves them with conservative
+          # rounding of the safety channels (estimator-preserving).
+          from vpt_tpu.volume.procedural import (NOISE_FBM_PERLIN,
+                                                 create_procedural_grid)
+          n = int(os.environ.get("BENCH_BIGVOL_N", 512))
+          half = n / 2.0
+          grid = create_procedural_grid(
+              vmin=(-half,) * 3, vmax=(half,) * 3, res=1.0,
+              noise_type=NOISE_FBM_PERLIN, scale=0.012, seed=5,
+              chunk_z=64)
+          lights = PointLights.make([[0.0, half * 2.2, half * 3.0]],
+                                    [[1.0, 1.0, 1.0]],
+                                    [float(half * half * 8.0)])
+          scene = aim_camera(
+              build_scene([grid], lights=lights, keep_raw_density=False,
+                          corner_dtype="bfloat16"),
+              W, H, dist_scale=half / 3.5)
+          dc = scene.atlas.density_corners
+          corner_bytes = dc.size * dc.dtype.itemsize
+          _log(f"# [bigvol_512] {n}^3 voxels, corner table "
+               f"{corner_bytes/2**30:.2f} GiB (bfloat16)")
+          params = RenderParams(environment_type=int(Environment.BLACK),
+                                density_mult=0.04, **base_kw)
+          results["bigvol_512"] = entry(
+              *measure(scene, params, "bigvol_512"),
+              grid_n=n, corner_gib=round(corner_bytes / 2**30, 2),
+              corner_dtype="bfloat16")
+
     # ---- north star: 1080p dragon, wall-clock to 1024 spp --------------
     north = {}
     if want("north_star") and dragon_scene is not None:

@@ -256,3 +256,13 @@ def test_structure_visualization_aovs():
     assert img.shape == (16, 16) and img.max() > 0
     img = np.asarray(render_structure_aov(scene, p, "bvh"))
     assert img.shape == (16, 16) and img.max() >= 1
+
+
+def test_procedural_chunked_generation_matches():
+    """chunk_z slab evaluation (the beyond-HBM 512^3 bench path) is
+    bit-identical to the monolithic noise eval."""
+    from vpt_tpu.volume.procedural import create_procedural_grid
+    a = create_procedural_grid(vmin=(-8, -8, -8), vmax=(8, 8, 8), res=1.0)
+    b = create_procedural_grid(vmin=(-8, -8, -8), vmax=(8, 8, 8), res=1.0,
+                               chunk_z=5)
+    np.testing.assert_array_equal(a.density_zyx, b.density_zyx)

@@ -61,6 +61,12 @@ def build_parser():
                    help="cached = precomputed light-transmittance "
                         "fields (deep-shadow style; single-instance "
                         "scenes, fused engine)")
+    r.add_argument("--denoise", choices=["none", "atrous", "nn"],
+                   default="none",
+                   help="denoise the accumulated radiance before saving "
+                        "(the reference's OIDN button, main.cpp:1508-"
+                        "1520): nn = learned kernel-predicting filter "
+                        "(falls back to atrous without trained weights)")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
@@ -243,6 +249,18 @@ def cmd_render(args):
     dt = time.time() - t0
     rays = args.width * args.height * args.spp
     log(f"{args.spp} spp in {dt:.1f}s ({rays/dt/1e6:.2f} Mrays/s)")
+
+    if args.denoise != "none":
+        import dataclasses as _dc
+        if args.denoise == "nn":
+            from vpt_tpu.render.denoise_nn import denoise_film
+            den = denoise_film(film)
+        else:
+            from vpt_tpu.render.denoise import denoise_image
+            den = denoise_image(film.accum, film.alpha)
+        film = _dc.replace(film, accum=den)
+        from vpt_tpu.render.film import to_display
+        img = np.asarray(to_display(film, params.exposure_scale))[::-1]
 
     from vpt_tpu.utils.io import save_image
     save_image(args.output, img, accum=np.asarray(film.accum)[::-1],

@@ -189,10 +189,16 @@ def evaluate_noise(pos, noise_type: int, scale, seed=123):
 def create_procedural_grid(vmin=(-100.0, -100.0, -100.0),
                            vmax=(100.0, 100.0, 100.0), res=1.0,
                            noise_type: int = NOISE_FBM_PERLIN,
-                           scale: float = 0.01, seed: int = 123):
+                           scale: float = 0.01, seed: int = 123,
+                           chunk_z: int = 0):
     """GPU_PROC_VOL::create_volume equivalent (gpu_vdb.cpp:508-609):
     noise-filled dense grid over [vmin, vmax] at voxel size `res`.
-    Negative noise clamps to zero (empty space)."""
+    Negative noise clamps to zero (empty space).
+
+    ``chunk_z`` > 0 evaluates the noise in z-slabs of that many slices
+    (host loop), bounding peak device memory for production-size grids
+    (512^3 fbm would otherwise materialize multi-GB octave
+    temporaries)."""
     from vpt_tpu.volume.grid import HostGrid
 
     vmin = np.asarray(vmin, np.float64)
@@ -200,11 +206,20 @@ def create_procedural_grid(vmin=(-100.0, -100.0, -100.0),
     dims = np.maximum(((vmax - vmin) / res).astype(int), 1)
     nx, ny, nz = int(dims[0]), int(dims[1]), int(dims[2])
 
-    zz, yy, xx = jnp.meshgrid(jnp.arange(nz), jnp.arange(ny), jnp.arange(nx),
-                              indexing="ij")
-    pos = jnp.stack([xx, yy, zz], axis=-1).astype(jnp.float32) + 0.5
-    vals = evaluate_noise(pos, noise_type, jnp.float32(scale), seed)
-    dens = np.asarray(jnp.maximum(vals, 0.0), np.float32)
+    def slab(z0, z1):
+        zz, yy, xx = jnp.meshgrid(jnp.arange(z0, z1), jnp.arange(ny),
+                                  jnp.arange(nx), indexing="ij")
+        pos = jnp.stack([xx, yy, zz], axis=-1).astype(jnp.float32) + 0.5
+        vals = evaluate_noise(pos, noise_type, jnp.float32(scale), seed)
+        return np.asarray(jnp.maximum(vals, 0.0), np.float32)
+
+    if chunk_z and chunk_z < nz:
+        dens = np.empty((nz, ny, nx), np.float32)
+        for z0 in range(0, nz, chunk_z):
+            z1 = min(z0 + chunk_z, nz)
+            dens[z0:z1] = slab(z0, z1)
+    else:
+        dens = slab(0, nz)
     max_d = float(dens.max()) if dens.size else 0.0
     if max_d <= 0.0:
         dens[nz // 2, ny // 2, nx // 2] = 1.0  # avoid fully-empty scene
