@@ -38,6 +38,10 @@ scene = dataclasses.replace(scene, camera=cam)
 params = RenderParams(width=W, height=H, ray_depth=50, volume_depth=1,
                       engine="fused", max_fused_steps=256,
                       environment_type=int(Environment.BLACK))
+if os.environ.get("PROBE_CACHED", "0") == "1":
+    from vpt_tpu.accel.shadow import attach_shadow_cache
+    scene = attach_shadow_cache(scene, azimuth=150.0, elevation=30.0)
+    params = params.replace(shadow_mode="cached")
 
 key = render_key(params.seed, 0)
 ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")

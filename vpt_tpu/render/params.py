@@ -65,7 +65,7 @@ class RenderParams:
     fused_loop_mode: str = "while"  # while (early tile exit) | fori
     fused_tile: int = 16384        # rays per fused tile (16384 measured
     #                                optimal on v5e, ROADMAP)
-    rays_per_lane: int = 1         # fused-engine ray queues: each lane
+    rays_per_lane: int = 0         # fused-engine ray queues: each lane
     #                                processes Q rays sequentially,
     #                                retiring finished rays and loading
     #                                the next in the SAME loop — per-tile
@@ -74,6 +74,9 @@ class RenderParams:
     #                                waste was ~65% of gather cost).
     #                                BLACK/CONSTANT environments only
     #                                (terminal env applied inline).
+    #                                0 = AUTO (renderer._resolve_auto_
+    #                                queue picks Q/tile on big batches;
+    #                                1 disables).
     block_tiles: int = 64          # cost-ordered scheduling block edge in
     #                                pixels (~5x at 1080p); 0 disables
     march_tile: int = 65536

@@ -88,6 +88,33 @@ def _engine_fn(scene, params):
     return run, params.fused_tile
 
 
+# measured on config 1 (tools/probe_queues.py, v5e): per-tile
+# iterations approach Q x mean ray cost instead of Q x max, so the
+# whole frame in ONE tile with Q=16 lanes-queues beats 16 separate
+# 16k tiles by ~1.5x (14.4 vs 21.5 ms/spp at 512^2)
+_AUTO_Q = 16
+_AUTO_TILE = 262144
+
+
+def _resolve_auto_queue(params, B):
+    """rays_per_lane=0 = AUTO: turn on fused ray queues whenever the
+    estimator allows it (BLACK/CONSTANT terminal environment — the
+    retire path applies env light inline) and the batch is big enough
+    that idle-lane waste dominates.  Small batches (tests, viewer
+    previews) keep the plain path."""
+    if params.rays_per_lane != 0:
+        return params
+    from vpt_tpu.render.params import Environment
+    if (params.engine == "fused"
+            and params.integrator == int(Integrator.DIRECT)
+            and params.environment_type in (int(Environment.BLACK),
+                                            int(Environment.CONSTANT))
+            and B >= _AUTO_TILE // 2):
+        tile = min(_AUTO_TILE, -(-B // _CHUNK) * _CHUNK)
+        return params.replace(rays_per_lane=_AUTO_Q, fused_tile=tile)
+    return params.replace(rays_per_lane=1)
+
+
 def trace_rays(scene, params, key, origin, direction, cost_hint=None):
     """Trace a flat ray batch with the configured engine.
 
@@ -100,6 +127,7 @@ def trace_rays(scene, params, key, origin, direction, cost_hint=None):
     Returns (L (B,3), alpha (B,), aux dict of (B,) AOVs).
     """
     B = origin.shape[0]
+    params = _resolve_auto_queue(params, B)
     run, tile = _engine_fn(scene, params)
     tile = min(tile, max(B, 1))
 

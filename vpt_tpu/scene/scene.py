@@ -168,6 +168,7 @@ def build_scene(
     instance_list_threshold: int = 8,
     keep_raw_density: bool = True,
     corner_dtype: str = "float32",
+    band_divisors: tuple | None = None,
 ) -> Scene:
     """Assemble a device Scene.
 
@@ -200,7 +201,8 @@ def build_scene(
     min_ext = min(host_grids[int(g)].min_density for g in instance_grid_ids)
 
     atlas = build_atlas(host_grids, keep_raw_density=keep_raw_density,
-                        corner_dtype=corner_dtype)
+                        corner_dtype=corner_dtype,
+                        band_divisors=band_divisors)
     if emission_lut is None or density_color_lut is None:
         from vpt_tpu.scene.assets import (load_blackbody_lut,
                                           load_density_color_lut)

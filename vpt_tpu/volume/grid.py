@@ -265,7 +265,8 @@ def _grow_boxes_numpy(ii_flat, coords, r, nx, ny, nz):
 BAND_DIVISORS = (0.0, 1 / 8, 1 / 4, 1 / 2, 1.0)
 
 
-def _corner_pack(d_zyx: np.ndarray) -> np.ndarray:
+def _corner_pack(d_zyx: np.ndarray,
+                 band_divisors: tuple | None = None) -> np.ndarray:
     """(nz,ny,nx) -> (nx*ny*nz, 15) rows: the 2x2x2 neighborhood of
     voxel i (tap order corner = x + 2y + 4z, edge-clamped to match
     trilinear clamp addressing) PLUS acceleration channels:
@@ -300,7 +301,7 @@ def _corner_pack(d_zyx: np.ndarray) -> np.ndarray:
         maj = m  # roll wrap only over-estimates (safe)
 
     gmax = float(maj.max())
-    bands = [gmax * f for f in BAND_DIVISORS]
+    bands = [gmax * f for f in (band_divisors or BAND_DIVISORS)]
     band_idx = np.zeros(maj.shape, np.int8)
     for b, t in enumerate(bands):
         band_idx[maj > t] = min(b + 1, len(bands) - 1)
@@ -359,7 +360,8 @@ def _bf16_conservative_down(a: np.ndarray) -> np.ndarray:
 
 def build_atlas(host_grids: list[HostGrid],
                 keep_raw_density: bool = True,
-                corner_dtype: str = "float32") -> VolumeAtlas:
+                corner_dtype: str = "float32",
+                band_divisors: tuple | None = None) -> VolumeAtlas:
     """Pack host grids into device atlases.
 
     ``keep_raw_density=False`` drops the raw (V,) scalar copy — the
@@ -413,7 +415,7 @@ def build_atlas(host_grids: list[HostGrid],
     any_col = any(g.color_zyx is not None for g in host_grids)
     corner_parts = []
     for g in host_grids:
-        part = [_corner_pack(g.density_zyx)]
+        part = [_corner_pack(g.density_zyx, band_divisors)]
         nvox = part[0].shape[0]
         if any_em:
             part.append(_corner_pack_plain(np.asarray(
