@@ -104,8 +104,31 @@ def test_fused_ray_queues_deterministic_and_guarded(scene):
     f1 = ProgressiveRenderer(scene, p).render(2)
     f2 = ProgressiveRenderer(scene, p).render(2)
     np.testing.assert_array_equal(np.asarray(f1.accum), np.asarray(f2.accum))
-    # HDRI/ATMOSPHERE env is rejected (env applied inline at retire)
-    bad = dataclasses.replace(
-        p, environment_type=int(Environment.ATMOSPHERE))
+    # phase_counts/return_state stay unsupported under queues
     with pytest.raises(ValueError):
-        ProgressiveRenderer(scene, bad).render(1)
+        from vpt_tpu.render.fused import fused_direct
+        import jax.numpy as jnp
+        fused_direct(scene, p, __import__("jax").random.PRNGKey(0),
+                     jnp.zeros((8, 3)), jnp.ones((8, 3)), phase_counts=True)
+
+
+def test_fused_ray_queues_hdri_deferred_env(scene):
+    """Q>1 with an HDRI environment: terminal env light is retire-
+    DEFERRED (beta/dir/pos out-arrays) and bulk-evaluated after the
+    loop — must match the Q=1 estimator."""
+    from vpt_tpu.scene.scene import attach_env_map
+    H, W = 16, 32
+    v = np.linspace(0, 1, H, dtype=np.float32)[:, None]
+    env = np.exp(-((v - 0.4) / 0.2) ** 2) * np.ones((H, W), np.float32)
+    env_rgb = np.stack([env * 2.0, env * 1.2, env * 0.7], -1)
+    s = attach_env_map(scene, env_rgb)
+    kw = dict(BASE, environment_type=int(Environment.HDRI))
+    f1 = ProgressiveRenderer(
+        s, RenderParams(engine="fused", **kw)).render(16)
+    f4 = ProgressiveRenderer(
+        s, RenderParams(engine="fused", rays_per_lane=4, **kw)).render(16)
+    a = np.asarray(f1.accum)
+    b = np.asarray(f4.accum)
+    assert np.isfinite(b).all() and (b >= 0).all()
+    assert a.mean() > 0
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())

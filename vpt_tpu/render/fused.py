@@ -93,17 +93,18 @@ def fused_direct(scene, params, key, origin, direction,
     inside the SAME loop iteration.  Idle-lane waste (~65% of gather
     cost at Q=1 — a tile runs to its slowest ray) drops to the
     variance of per-lane SUMS, so per-tile iterations approach
-    Q x mean instead of Q x max.  Terminal environment light is
-    applied inline at retire time, which restricts Q > 1 to
-    BLACK/CONSTANT environments (position-independent env)."""
+    Q x mean instead of Q x max.  Terminal environment light:
+    BLACK/CONSTANT apply inline at retire (position-independent);
+    HDRI/ATMOSPHERE retire-DEFER (beta, direction, env_pos) into
+    per-slot out-arrays and evaluate environment_radiance once, in
+    bulk, after the loop — the per-ray env gather count is identical
+    to the Q=1 path, so queues stay a pure utilization win."""
     Q = max(int(params.rays_per_lane), 1)
+    defer_env = False
     if Q > 1:
         from vpt_tpu.render.params import Environment
-        if params.environment_type not in (int(Environment.BLACK),
-                                           int(Environment.CONSTANT)):
-            raise ValueError(
-                "rays_per_lane > 1 supports BLACK/CONSTANT environments "
-                "only (terminal env is applied inline at ray retire)")
+        defer_env = params.environment_type in (int(Environment.HDRI),
+                                                int(Environment.ATMOSPHERE))
         if phase_counts or return_state:
             raise ValueError("rays_per_lane > 1 does not support "
                              "phase_counts/return_state")
@@ -292,15 +293,21 @@ def fused_direct(scene, params, key, origin, direction,
         (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr, contrib,
          dist, t, skip, tbox, sphere_lim, phase, ascode, nshadow, depth_n,
          depth_aov, cost, step, vd, slot, o_l, o_a, o_c, o_d,
-         o_done) = state
+         o_done) = state[:29]
         fin = (phase == P_DONE) & (slot < Q)
-        l_fin = L + _const_env(beta)
+        l_fin = L if defer_env else L + _const_env(beta)
         m = (jnp.arange(Q)[:, None] == slot[None, :]) & fin[None, :]
         o_l = jnp.where(m[..., None], l_fin[None], o_l)
         o_a = jnp.where(m, jnp.minimum(alpha, 1.0)[None], o_a)
         o_c = jnp.where(m, cost.astype(jnp.float32)[None], o_c)
         o_d = jnp.where(m, depth_aov[None], o_d)
         o_done = o_done | m
+        if defer_env:
+            o_beta, o_dir, o_epos = state[29:32]
+            m3 = m[..., None]
+            o_beta = jnp.where(m3, beta[None], o_beta)
+            o_dir = jnp.where(m3, dirn[None], o_dir)
+            o_epos = jnp.where(m3, env_pos[None], o_epos)
         slot = slot + fin.astype(jnp.int32)
         more = fin & (slot < Q)
         new_o = _slot_select(slot, origins_q)
@@ -328,10 +335,11 @@ def fused_direct(scene, params, key, origin, direction,
         cost = jnp.where(more, 0, cost)
         vd = jnp.where(more, 0, vd)
         phase = jnp.where(more, P_SEEK, phase)
-        return (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr,
-                contrib, dist, t, skip, tbox, sphere_lim, phase, ascode,
-                nshadow, depth_n, depth_aov, cost, step, vd, slot, o_l,
-                o_a, o_c, o_d, o_done)
+        out = (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr,
+               contrib, dist, t, skip, tbox, sphere_lim, phase, ascode,
+               nshadow, depth_n, depth_aov, cost, step, vd, slot, o_l,
+               o_a, o_c, o_d, o_done)
+        return out + ((o_beta, o_dir, o_epos) if defer_env else ())
 
     def body(state):
         kstep = jax.random.fold_in(key, state[21])
@@ -646,6 +654,13 @@ def fused_direct(scene, params, key, origin, direction,
                          jnp.zeros((Q, B), jnp.float32),     # out cost
                          jnp.zeros((Q, B), jnp.float32),     # out depth
                          jnp.zeros((Q, B), bool))            # out done
+        if defer_env:
+            # beta=0 zeroes unretired slots' env term; dir/pos init
+            # with REAL ray values (a zero direction could make the
+            # atmosphere eval non-finite, and NaN * 0 = NaN)
+            state = state + (jnp.zeros((Q, B, 3), jnp.float32),  # beta
+                             dirs_q.astype(jnp.float32),          # dir
+                             origins_q.astype(jnp.float32))       # env_pos
     if phase_counts:
         state = state + (jnp.zeros((B, 7), jnp.int32),)
 
@@ -670,6 +685,15 @@ def fused_direct(scene, params, key, origin, direction,
         state = retire_reload(state)
         _slot, o_l, o_a, o_c, o_d, o_done = state[23:29]
         L = o_l.reshape(Q * B, 3)
+        if defer_env:
+            # bulk terminal env over every retired ray (truncated
+            # slots carry beta=0): same per-ray env gather count as
+            # the Q=1 post-loop application
+            o_beta, o_dir, o_epos = state[29:32]
+            from vpt_tpu.render.integrator import environment_radiance
+            L = L + environment_radiance(
+                scene, params, o_epos.reshape(Q * B, 3),
+                o_dir.reshape(Q * B, 3)) * o_beta.reshape(Q * B, 3)
         alpha = o_a.reshape(Q * B)
         cost = o_c.reshape(Q * B)
         depth_aov = o_d.reshape(Q * B)

@@ -97,18 +97,15 @@ _AUTO_TILE = 262144
 
 
 def _resolve_auto_queue(params, B):
-    """rays_per_lane=0 = AUTO: turn on fused ray queues whenever the
-    estimator allows it (BLACK/CONSTANT terminal environment — the
-    retire path applies env light inline) and the batch is big enough
-    that idle-lane waste dominates.  Small batches (tests, viewer
+    """rays_per_lane=0 = AUTO: turn on fused ray queues when the batch
+    is big enough that idle-lane waste dominates (BLACK/CONSTANT envs
+    apply inline at retire; HDRI/ATMOSPHERE defer (beta, dir, env_pos)
+    and bulk-evaluate after the loop).  Small batches (tests, viewer
     previews) keep the plain path."""
     if params.rays_per_lane != 0:
         return params
-    from vpt_tpu.render.params import Environment
     if (params.engine == "fused"
             and params.integrator == int(Integrator.DIRECT)
-            and params.environment_type in (int(Environment.BLACK),
-                                            int(Environment.CONSTANT))
             and B >= _AUTO_TILE // 2):
         tile = min(_AUTO_TILE, -(-B // _CHUNK) * _CHUNK)
         return params.replace(rays_per_lane=_AUTO_Q, fused_tile=tile)
