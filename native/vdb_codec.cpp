@@ -476,4 +476,87 @@ int grow_empty_boxes(const int32_t* ii, const int32_t* coords,
     return 0;
 }
 
+// Per-(octant x major-axis) anchored forward box growth (the
+// acceleration build for grid._octant_box_extents; the numpy loop is
+// ~24x the symmetric sweep's work).  out: (72, n) int32, laid out
+// [octant*9 + major*3 + axis][i]; octant bit set = positive axis
+// direction.  Growth order per box: the major axis with full binary
+// probing first, then the two minor axes interleaved per probe size —
+// MUST match the numpy fallback for identical tables.
+int grow_octant_boxes(const int32_t* ii, const int32_t* coords,
+                      const int32_t* r, long long n, int nx, int ny,
+                      int nz, int32_t* out) {
+    const int sx_ = nx + 1, sy_ = ny + 1;
+    const long long sxy = (long long)sx_ * sy_;
+    const int32_t* xs = coords;
+    const int32_t* ys = coords + n;
+    const int32_t* zs = coords + 2 * n;
+
+    auto clampi = [](int v, int lo, int hi) {
+        return v < lo ? lo : (v > hi ? hi : v);
+    };
+    auto occ_count = [&](int z0, int z1, int y0, int y1, int x0,
+                         int x1) -> int32_t {
+        z0 = clampi(z0, 0, nz);
+        z1 = clampi(z1 + 1, 0, nz);
+        y0 = clampi(y0, 0, ny);
+        y1 = clampi(y1 + 1, 0, ny);
+        x0 = clampi(x0, 0, nx);
+        x1 = clampi(x1 + 1, 0, nx);
+        auto at = [&](int z, int y, int x) {
+            return ii[(long long)z * sxy + (long long)y * sx_ + x];
+        };
+        return at(z1, y1, x1) - at(z0, y1, x1) - at(z1, y0, x1)
+               - at(z1, y1, x0) + at(z0, y0, x1) + at(z0, y1, x0)
+               + at(z1, y0, x0) - at(z0, y0, x0);
+    };
+
+    int nmax = nx > ny ? nx : ny;
+    if (nz > nmax) nmax = nz;
+    int add0 = 1;
+    while (add0 < nmax && add0 < (1 << 29)) add0 <<= 1;
+    if (nmax <= 2) add0 = 2;
+
+#pragma omp parallel for schedule(static)
+    for (long long i = 0; i < n; ++i) {
+        const int x = xs[i], y = ys[i], z = zs[i];
+        for (int o = 0; o < 8; ++o) {
+            const int px = o & 1, py = (o >> 1) & 1, pz = (o >> 2) & 1;
+            for (int m = 0; m < 3; ++m) {
+                int e[3] = {r[i], r[i], r[i]};
+                // probe sequence: major full sweep, then minors
+                // interleaved per size (matches the numpy fallback)
+                auto probe = [&](int axis, int add) {
+                    int x0 = x - (px ? 0 : e[0]), x1 = x + (px ? e[0] : 0);
+                    int y0 = y - (py ? 0 : e[1]), y1 = y + (py ? e[1] : 0);
+                    int z0 = z - (pz ? 0 : e[2]), z1 = z + (pz ? e[2] : 0);
+                    if (axis == 0) {
+                        if (px) { x0 = x1 + 1; x1 += add; }
+                        else    { x1 = x0 - 1; x0 -= add; }
+                    } else if (axis == 1) {
+                        if (py) { y0 = y1 + 1; y1 += add; }
+                        else    { y1 = y0 - 1; y0 -= add; }
+                    } else {
+                        if (pz) { z0 = z1 + 1; z1 += add; }
+                        else    { z1 = z0 - 1; z0 -= add; }
+                    }
+                    if (occ_count(z0, z1, y0, y1, x0, x1) == 0)
+                        e[axis] += add;
+                };
+                for (int add = add0; add >= 1; add >>= 1) probe(m, add);
+                const int m1 = m == 0 ? 1 : 0, m2 = m == 2 ? 1 : 2;
+                for (int add = add0; add >= 1; add >>= 1) {
+                    probe(m1, add);
+                    probe(m2, add);
+                }
+                const long long base = (long long)(9 * o + 3 * m) * n + i;
+                out[base] = e[0];
+                out[base + n] = e[1];
+                out[base + 2 * n] = e[2];
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

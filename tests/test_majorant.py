@@ -67,3 +67,49 @@ def test_skipping_preserves_estimator(scene):
     m_off = float(np.asarray(f_off.accum).mean())
     assert m_off > 0
     assert abs(m_on - m_off) / m_off < 0.15, (m_on, m_off)
+
+
+def test_octant_boxes_anchored_empty():
+    """Per-(octant x major) anchored boxes contain no occupied voxel
+    (grid._octant_box_extents; native sweep and numpy fallback agree —
+    the native path is exercised when native/build exists)."""
+    from vpt_tpu.volume.grid import _octant_box_extents
+    rng = np.random.RandomState(3)
+    occ = rng.rand(18, 22, 15) > 0.9
+    ext = _octant_box_extents(occ)
+    zz, yy, xx = np.nonzero(~occ)
+    sel = rng.choice(zz.size, size=min(60, zz.size), replace=False)
+    for i in sel:
+        v = (int(xx[i]), int(yy[i]), int(zz[i]))
+        for o in range(8):
+            for m in range(3):
+                e = ext[9 * o + 3 * m:9 * o + 3 * m + 3,
+                        v[2], v[1], v[0]].astype(int)
+                sx, sy, sz = o & 1, (o >> 1) & 1, (o >> 2) & 1
+                x0, x1 = (v[0], v[0] + e[0]) if sx else (v[0] - e[0], v[0])
+                y0, y1 = (v[1], v[1] + e[1]) if sy else (v[1] - e[1], v[1])
+                z0, z1 = (v[2], v[2] + e[2]) if sz else (v[2] - e[2], v[2])
+                box = occ[max(z0, 0):z1 + 1, max(y0, 0):y1 + 1,
+                          max(x0, 0):x1 + 1]
+                assert not box.any(), (v, o, m, e)
+
+
+def test_octant_boxes_preserve_estimator(scene):
+    """Octant skip jumps only cross provably-empty space: the mean
+    image with/without them agrees (scene fixture has them on via
+    auto; rebuild with octant_boxes=False for the control)."""
+    assert scene.atlas.octant_cols > 0  # auto turned them on
+    p = RenderParams(width=24, height=24, ray_depth=6, max_track_steps=128,
+                     environment_type=int(Environment.BLACK))
+    lights = PointLights.make([[5.0, 8.0, 12.0]], [[1.0, 1.0, 1.0]],
+                              [300.0])
+    s_off = load_vdb_scene("/root/reference/assets/dragon.vdb",
+                           lights=lights, octant_boxes=False)
+    s_off = dataclasses.replace(s_off, camera=scene.camera)
+    assert s_off.atlas.octant_cols == 0
+    f_on = ProgressiveRenderer(scene, p).render(24)
+    f_off = ProgressiveRenderer(s_off, p).render(24)
+    m_on = float(np.asarray(f_on.accum).mean())
+    m_off = float(np.asarray(f_off.accum).mean())
+    assert m_off > 0
+    assert abs(m_on - m_off) / m_off < 0.15, (m_on, m_off)

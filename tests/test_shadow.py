@@ -185,7 +185,9 @@ def test_cached_multiple_lights():
     tracked = ProgressiveRenderer(
         s, RenderParams(engine="fused", **base)).render(32)
     cs = attach_shadow_cache(s, azimuth=100.0, elevation=35.0)
-    assert cs.atlas.density_corners.shape[1] == 15 + 8 * (1 + 3)
+    from vpt_tpu.volume.grid import unified_layout
+    assert (cs.atlas.density_corners.shape[1]
+            == unified_layout(cs.atlas)[2] + 8 * (1 + 3))
     cached = ProgressiveRenderer(
         cs, RenderParams(engine="fused", shadow_mode="cached",
                          **base)).render(32)
@@ -202,8 +204,10 @@ def test_rebake_replaces_old_channels(lit_scene):
     b = attach_shadow_cache(a, azimuth=270.0, elevation=30.0)
     assert (a.atlas.density_corners.shape
             == b.atlas.density_corners.shape)
-    ta = np.asarray(a.atlas.density_corners)[:, 15:23]
-    tb = np.asarray(b.atlas.density_corners)[:, 15:23]
+    from vpt_tpu.volume.grid import unified_layout
+    t0 = unified_layout(a.atlas)[2]
+    ta = np.asarray(a.atlas.density_corners)[:, t0:t0 + 8]
+    tb = np.asarray(b.atlas.density_corners)[:, t0:t0 + 8]
     assert not np.allclose(ta, tb)  # opposite sun -> different field
 
 

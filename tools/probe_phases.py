@@ -56,7 +56,7 @@ pcnt = np.asarray(pcnt)
 cost = np.asarray(cost)
 tot = pcnt.sum(0)
 names = ["jump-merged", "MARCH-sample", "MARCH-exit", "SHADOW", "EMIT",
-         "covers-fold", "accepts"]
+         "covers-fold", "chained-jump", "accepts"]
 print(f"rays: {W*H}   total walking steps: {cost.sum():.0f}")
 for n, v in zip(names, tot):
     print(f"{n:<13s}: {v:>10d}  ({100*v/cost.sum():.1f}%)")
@@ -73,7 +73,7 @@ def q(x, label):
 
 q(cost, "walking steps/ray")
 q(cost - pcnt[:, 3], "minus SHADOW (cached)")
-acc = pcnt[:, 6].sum()
+acc = pcnt[:, 7].sum()
 samp = pcnt[:, 1].sum()
 print(f"accepts: {acc}  null fraction of MARCH samples: "
       f"{1 - acc / max(samp, 1):.2f}")

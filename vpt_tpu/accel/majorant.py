@@ -196,6 +196,17 @@ def build_majorant_grid(host_grids, instance_grid_ids, xforms,
         t_box[sel] = t
     packed = np.concatenate([t_box.reshape(-1, 1),
                              ext.reshape(6, -1).T], axis=-1)
+    if R <= 128 and len(instance_grid_ids) > 1:
+        # per-(octant x major-axis) anchored forward extents for the
+        # empty cells (grid._octant_box_extents — the single-instance
+        # corner rows carry the same cols 15:87): merges chained
+        # empty-cell hops on instanced scenes.  +288 B/cell, so only
+        # at R <= 128 (<= 600 MB); single-instance scenes never read
+        # the packed rows (they fetch from the corner table).
+        from vpt_tpu.volume.grid import _octant_box_extents
+        oct_ext = _octant_box_extents(grid_max > 0.0)
+        packed = np.concatenate(
+            [packed, oct_ext.reshape(oct_ext.shape[0], -1).T], axis=-1)
     cell_instances = None
     cell_rows = None
     if build_instance_lists:
@@ -213,6 +224,32 @@ def build_majorant_grid(host_grids, instance_grid_ids, xforms,
         cell_instances=cell_instances,
         cell_rows=cell_rows,
     )
+
+
+def octant_exit(oct_rows, i0f, pos_u, dvec):
+    """Exit distance of the per-(octant x major-axis) anchored empty
+    box (grid._octant_box_extents cols, (..., 72)).
+
+    ``i0f``: floor cell coordinate (grid units); ``pos_u``: position in
+    the same units; ``dvec``: direction scaled so pos_u + t*dvec tracks
+    the caller's world parameterization.  Returns t (same units as the
+    caller's exit distances); only valid on guaranteed-empty cells."""
+    oct_ext = oct_rows.reshape(oct_rows.shape[:-1] + (24, 3))
+    pos_dir = dvec > 0.0
+    major_ax = jnp.argmax(jnp.abs(dvec), axis=-1).astype(jnp.int32)
+    code = (pos_dir[..., 0].astype(jnp.int32)
+            + 2 * pos_dir[..., 1].astype(jnp.int32)
+            + 4 * pos_dir[..., 2].astype(jnp.int32)) * 3 + major_ax
+    e3 = oct_ext[..., 0, :]
+    for o in range(1, 24):
+        e3 = jnp.where((code == o)[..., None], oct_ext[..., o, :], e3)
+    e3 = jnp.maximum(e3, 0.0)
+    # forward face per axis: i0f + 1 + e (dir > 0) or i0f - e; a ~zero
+    # direction component never reaches its face
+    face = jnp.where(pos_dir, i0f + 1.0 + e3, i0f - e3)
+    safe = jnp.where(jnp.abs(dvec) < 1e-12, 1e-12, dvec)
+    t_ax = jnp.where(jnp.abs(dvec) < 1e-12, 3.4e38, (face - pos_u) / safe)
+    return jnp.min(t_ax, axis=-1)
 
 
 def majorant_lookup(major, root_pmin, root_pmax, pos):
@@ -264,6 +301,11 @@ def local_majorant_query(major, root_pmin, root_pmax, pos, direction):
     t1 = (cube_min - pos) * inv
     t2 = (cube_max - pos) * inv
     t_exit = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    if row.shape[-1] >= 79:
+        t_oct = octant_exit(row[..., 7:79], ci.astype(jnp.float32),
+                            rel, direction / cs)
+        t_exit = jnp.where(sigma_cell <= 0.0,
+                           jnp.maximum(t_exit, t_oct), t_exit)
     return sigma_cell, jnp.maximum(t_exit, 0.0)
 
 
@@ -293,6 +335,10 @@ def empty_skip_t(major, root_pmin, root_pmax, pos, direction):
     t1 = (cube_min - pos) * inv
     t2 = (cube_max - pos) * inv
     t_exit = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    if row.shape[-1] >= 79:
+        t_oct = octant_exit(row[..., 7:79], ci.astype(jnp.float32),
+                            rel, direction / cs)
+        t_exit = jnp.where(empty, jnp.maximum(t_exit, t_oct), t_exit)
     return empty, jnp.maximum(t_exit, 0.0)
 
 

@@ -46,14 +46,34 @@ P_SEEK, P_MARCH, P_SHADOW, P_EMIT, P_DONE = 0, 1, 2, 3, 4
 AS_SUN, AS_PT, AS_SPHERE = 0, 1, 2
 
 
+def _walk_box(scene):
+    """Bounds a MARCH/EMIT walk must cover: the instance's own box on
+    single-instance scenes (the ±1 root pad is provably density- and
+    emission-free, so walking it only burns iterations — estimator-
+    identical, unlike SHADOW whose tr_depth-residual expectation
+    depends on the walk length and keeps root-box parity)."""
+    if scene.instances.count == 1:
+        return scene.instances.pmin[0], scene.instances.pmax[0]
+    return scene.root_pmin, scene.root_pmax
+
+
 def _march_init(scene, pos, direction):
-    """(dist, sphere_limited) for a primary walk starting at pos."""
-    _, _, t_box = aabb_intersect(scene.root_pmin, scene.root_pmax, pos,
-                                 direction)
-    t_box = jnp.maximum(t_box, 0.0)
+    """(dist, sphere_limited, skip0) for a primary walk starting at
+    pos: dist ends at the walk box's exit, and skip0 pre-seeds the
+    walk's `skip` with the provably-empty gap from pos to the box
+    entry (outside starts cross it in the FIRST step instead of
+    burning a blind hop on it)."""
+    bmin, bmax = _walk_box(scene)
+    hit, t_in, t_out = aabb_intersect(bmin, bmax, pos, direction)
+    t_box = jnp.where(hit, jnp.maximum(t_out, 0.0), 0.0)
+    inside = aabb_contains(bmin, bmax, pos)
+    skip0 = jnp.where(hit & ~inside, jnp.maximum(t_in, 0.0), 0.0)
     sph_hit, t_sph = _sphere_block(scene, pos, direction)
     lim = sph_hit & (t_sph < t_box)
-    return jnp.where(lim, t_sph, t_box), lim
+    dist = jnp.where(lim, t_sph, t_box)
+    # never jump past the walk end (sphere inside the entry gap)
+    skip0 = jnp.minimum(skip0, dist)
+    return dist, lim, skip0
 
 
 def _shadow_init(scene, params, start, w):
@@ -215,7 +235,7 @@ def fused_direct(scene, params, key, origin, direction,
                                           pos, dirn)
         hit2, t2 = _sphere_block(scene, pos, dirn)
         entry = pos + dirn * (t1 + EPS)[..., None]
-        m_dist, m_lim = _march_init(scene, entry, dirn)
+        m_dist, m_lim, m_skip = _march_init(scene, entry, dirn)
         # a zero-length walk (box behind / seek-from-inside, where the
         # tmin<0 -> tmax rule lands entry on the box EXIT — the QUIRKS
         # #19 teleport) contributes nothing: classify past it instead
@@ -235,7 +255,7 @@ def fused_direct(scene, params, key, origin, direction,
         dist = jnp.where(go_march, m_dist, dist)
         sphere_lim = jnp.where(go_march, m_lim, sphere_lim)
         t = jnp.where(go_march, 0.0, t)
-        skip = jnp.where(go_march, 0.0, skip)
+        skip = jnp.where(go_march, m_skip, skip)
         tbox = jnp.where(go_march, 0.0, tbox)
         phase = jnp.where(go_march, P_MARCH, phase)
         vd = jnp.where(go_march, 0, vd)
@@ -412,10 +432,14 @@ def fused_direct(scene, params, key, origin, direction,
         covers = sampled & ~emitting & (tbox_new <= 0.0) & (s_new > 0.0) \
             & (t_new + s_new >= dist)
         if phase_counts:
+            # chained: landed in ANOTHER empty box mid-walk — the next
+            # iteration will jump again (per-octant box-growth target)
+            chained = (sampled & ~emitting & (tbox_new <= 0.0)
+                       & (s_new > 0.0) & ~covers)
             pcnt_new = jnp.stack(
                 [jumped & ~exited,
                  marching & sampled, marching & exited, shadowing,
-                 emitting, covers], axis=-1).astype(jnp.int32)
+                 emitting, covers, chained], axis=-1).astype(jnp.int32)
 
         # MARCH: collision test thinned at the bound the tentative
         # event was DRAWN at (t_old, NOT the landing's box — exact
@@ -532,7 +556,7 @@ def fused_direct(scene, params, key, origin, direction,
         if params.volume_depth > 1:
             # intermediate interaction: restart the primary walk from
             # the collision point along the scattered direction
-            vm_dist, vm_lim = _march_init(scene, cursor, hg_dir)
+            vm_dist, vm_lim, _vm_skip = _march_init(scene, cursor, hg_dir)
             pos = jnp.where(accept_more[..., None], cursor, pos)
             dirn = jnp.where(accept_more[..., None], hg_dir, dirn)
             dist = jnp.where(accept_more, vm_dist, dist)
@@ -604,8 +628,8 @@ def fused_direct(scene, params, key, origin, direction,
         resume_seek = walks_done & (ascode == AS_SPHERE)
         sph_res, _ = _sphere_block(scene, anchor, sdir)
         if scene.atlas.has_emission:
-            _, _, e_dist = aabb_intersect(scene.root_pmin, scene.root_pmax,
-                                          anchor, sdir)
+            wbmin, wbmax = _walk_box(scene)
+            _, _, e_dist = aabb_intersect(wbmin, wbmax, anchor, sdir)
             pos = jnp.where(resume_emit[..., None], anchor, pos)
             dirn = jnp.where(resume_emit[..., None], sdir, dirn)
             dist = jnp.where(resume_emit, jnp.maximum(e_dist, 0.0), dist)
@@ -662,7 +686,7 @@ def fused_direct(scene, params, key, origin, direction,
                              dirs_q.astype(jnp.float32),          # dir
                              origins_q.astype(jnp.float32))       # env_pos
     if phase_counts:
-        state = state + (jnp.zeros((B, 7), jnp.int32),)
+        state = state + (jnp.zeros((B, 8), jnp.int32),)
 
     budget = params.max_fused_steps * Q
     if params.fused_loop_mode == "fori":

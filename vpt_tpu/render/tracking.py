@@ -160,7 +160,7 @@ def _cells_banded_fetch(scene, pos, direction):
     ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, R - 1)
     flat = (ci[..., 2] * R + ci[..., 1]) * R + ci[..., 0]
     (flat,) = jax.lax.optimization_barrier((flat,))
-    row = jnp.take(major.cell_rows, flat, axis=0)  # (..., 7+K)
+    row = jnp.take(major.cell_rows, flat, axis=0)  # (..., 7[+72]+K)
     (row,) = jax.lax.optimization_barrier((row,))
     t_box = row[..., 0]
     ext_m = jnp.maximum(row[..., 1:4], 0.0)
@@ -172,7 +172,15 @@ def _cells_banded_fetch(scene, pos, direction):
     t2 = (cube_max - pos) * inv
     s_box = jnp.maximum(jnp.min(jnp.maximum(t1, t2), axis=-1), 0.0)
 
-    ids = row[..., 7:].astype(jnp.int32)
+    ids_off = major.packed.shape[-1]  # 7, or 79 with octant extents
+    if ids_off >= 79:
+        from vpt_tpu.accel.majorant import octant_exit
+        t_oct = octant_exit(row[..., 7:79], ci.astype(jnp.float32),
+                            rel, direction / cs)
+        s_box = jnp.where(t_box <= 0.0,
+                          jnp.maximum(s_box, jnp.maximum(t_oct, 0.0)),
+                          s_box)
+    ids = row[..., ids_off:].astype(jnp.int32)
     valid = ids >= 0
     n_inst = scene.instances.packed_rows.shape[0]
     if n_inst <= 4096:
@@ -466,6 +474,33 @@ def _unified_fetch_single(scene, params, pos, direction,
     t1 = (cube_min - x_u) / safe_dir
     t2 = (cube_max - x_u) / safe_dir
     t_exit = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    if scene.atlas.octant_cols:
+        # per-(octant x major-axis) anchored forward extents
+        # (grid._octant_box_extents, cols 15:87): a box grown
+        # forward-only in the ray's direction octant, deepest along
+        # its dominant axis — merges the chained empty-box hops the
+        # symmetric box leaves behind (47% of walking iterations,
+        # probe_phases).  Exit distances from BOTH boxes are valid;
+        # take the max.
+        oct_ext = rows[..., 15:87].reshape(rows.shape[:-1] + (24, 3))
+        pos_dir = idir > 0.0
+        adir = jnp.abs(idir)
+        major = jnp.argmax(adir, axis=-1).astype(jnp.int32)
+        code = (pos_dir[..., 0].astype(jnp.int32)
+                + 2 * pos_dir[..., 1].astype(jnp.int32)
+                + 4 * pos_dir[..., 2].astype(jnp.int32)) * 3 + major
+        e3 = oct_ext[..., 0, :]
+        for o in range(1, 24):
+            e3 = jnp.where((code == o)[..., None], oct_ext[..., o, :], e3)
+        e3 = jnp.maximum(e3, 0.0)
+        # forward face per axis: i0f + 1 + e (dir > 0) or i0f - e;
+        # a ~zero direction component never reaches its face
+        face = jnp.where(pos_dir, i0f + 1.0 + e3, i0f - e3)
+        t_ax = jnp.where(jnp.abs(idir) < 1e-12, 3.4e38,
+                         (face - x_u) / safe_dir)
+        t_oct = jnp.min(t_ax, axis=-1)
+        t_exit = jnp.where(t_box <= 0.0,
+                           jnp.maximum(t_exit, t_oct), t_exit)
     in_skip = inb & (t_box <= 0.0)
 
     # out-of-box: density is identically 0 outside the grid; advance to

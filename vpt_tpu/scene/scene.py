@@ -169,6 +169,7 @@ def build_scene(
     keep_raw_density: bool = True,
     corner_dtype: str = "float32",
     band_divisors: tuple | None = None,
+    octant_boxes: bool | str = "auto",
 ) -> Scene:
     """Assemble a device Scene.
 
@@ -200,9 +201,20 @@ def build_scene(
     max_ext = max(host_grids[int(g)].max_density for g in instance_grid_ids)
     min_ext = min(host_grids[int(g)].min_density for g in instance_grid_ids)
 
+    if octant_boxes == "auto":
+        # per-(octant x major-axis) extents ride the single-instance
+        # fast path's row gather and cut the chained empty-box hops
+        # measured at ~47% of walking iterations
+        # (tools/probe_phases.py).  +72 f32 per voxel (288 B), so
+        # auto-off beyond 8M voxels (production sizes keep the lean
+        # rows) and for instanced scenes (those fetch from the
+        # majorant cell grid, not the corner rows).
+        total_vox = sum(int(np.prod(g.dim)) for g in host_grids)
+        octant_boxes = len(instance_grid_ids) == 1 and total_vox <= 8_000_000
     atlas = build_atlas(host_grids, keep_raw_density=keep_raw_density,
                         corner_dtype=corner_dtype,
-                        band_divisors=band_divisors)
+                        band_divisors=band_divisors,
+                        octant_boxes=bool(octant_boxes))
     if emission_lut is None or density_color_lut is None:
         from vpt_tpu.scene.assets import (load_blackbody_lut,
                                           load_density_color_lut)

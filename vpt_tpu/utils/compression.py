@@ -68,6 +68,10 @@ def _load_native():
                 ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_void_p,
             ]
+            if hasattr(dll, "grow_octant_boxes"):  # newer .so builds
+                dll.grow_octant_boxes.restype = ctypes.c_int
+                dll.grow_octant_boxes.argtypes = (
+                    dll.grow_empty_boxes.argtypes)
             _native = dll
             return dll
         except (OSError, AttributeError):
