@@ -37,6 +37,14 @@ FUSED_STEPS = int(os.environ.get("BENCH_FUSED_STEPS", 128))
 # #4); BENCH_FULL_1080P=0 falls back to the ms/spp extrapolation
 FULL_1080 = os.environ.get("BENCH_FULL_1080P", "1") == "1"
 ONLY = os.environ.get("BENCH_ONLY", "")  # comma-sep scenario filter
+# Global deadline: once elapsed wall exceeds this, remaining scenarios
+# are SKIPPED (logged) and the JSON is emitted with what completed — a
+# driver-side timeout would otherwise kill the process and record
+# NOTHING (the empty BENCH json failure mode).  Compiles through the
+# remote tunnel vary 8 s-10 min, so a bad-weather day can blow any
+# fixed budget.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 3600))
+T0 = time.time()
 
 
 def _log(msg):
@@ -142,7 +150,14 @@ def main():
                    max_fused_steps=FUSED_STEPS)
 
     def want(name):
-        return not ONLY or name in ONLY.split(",")
+        if ONLY and name not in ONLY.split(","):
+            return False
+        if time.time() - T0 > DEADLINE_S:
+            _log(f"# [{name}] SKIPPED: past BENCH_DEADLINE_S="
+                 f"{DEADLINE_S:.0f}s (elapsed {time.time()-T0:.0f}s)")
+            results[f"{name}__skipped"] = "deadline"
+            return False
+        return True
 
     import contextlib
 
@@ -413,7 +428,7 @@ def main():
                                           elevation=30.0)
               params = params.replace(shadow_mode="cached")
           ms, mr, tr, iters = measure(scene, params, "north_star_1080p")
-          if FULL_1080:
+          if FULL_1080 and time.time() - T0 <= DEADLINE_S:
               film = Film.zeros(1080, 1920)
               t0 = time.time()
               for it in range(1024):
