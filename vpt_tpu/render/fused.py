@@ -103,7 +103,7 @@ def fused_direct(scene, params, key, origin, direction,
     depth) — cost = loop iterations spent walking per ray, unfinished =
     step-budget truncation flag (the bench's honesty audit).
 
-    phase_counts=True additionally returns a (B, 6) int32 array of
+    phase_counts=True additionally returns a (B, 7) int32 array of
     per-ray step-kind counters — the diagnostic that motivated the
     free-flight merge and the cached-shadow mode (accel/shadow.py).
 
