@@ -458,7 +458,7 @@ def _corner_pack(d_zyx: np.ndarray,
 def unified_layout(atlas) -> tuple[int, int, int]:
     """Static column offsets inside the unified corner row:
     (emission_off, color_off, tau_off); -1 when a channel is absent.
-    Layout: density+accel 15 | octant ext 24? | emission 8? |
+    Layout: density+accel 15 | octant ext 72? | emission 8? |
     color 24? | tau 8*(1+L)? (shadow-cache channels are appended by
     accel/shadow.py)."""
     off = 15 + atlas.octant_cols
