@@ -221,8 +221,14 @@ def main():
     if want("config1_dragon") or want("north_star"):
         lights = PointLights.make([[5.0, 8.0, 12.0]], [[1.0, 1.0, 1.0]],
                                   [300.0])
+        # BENCH_OCTANT=0|1|auto: A/B the per-octant empty-box columns
+        # (72 extra f32/voxel in the corner row) against the plain
+        # 15-col rows — separates the iteration win from any
+        # row-width cost on the day's gather rate
+        _oct = os.environ.get("BENCH_OCTANT", "auto")
+        _oct_kw = {} if _oct == "auto" else {"octant_boxes": _oct == "1"}
         dragon_scene = load_vdb_scene("/root/reference/assets/dragon.vdb",
-                                      lights=lights)
+                                      lights=lights, **_oct_kw)
         # weather calibration: the remote TPU's serialized-gather rate
         # varies 4.5-6.5+ ns/lane-iteration across sessions with
         # IDENTICAL programs (ARCHITECTURE 'measurement health

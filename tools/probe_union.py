@@ -34,7 +34,7 @@ W = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 N_INST = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 
 PHASES = ["jump", "march_sample", "march_exit", "shadow", "emit",
-          "covers", "chained"]
+          "covers", "chained", "accepts"]
 
 
 def blob(n=24):
