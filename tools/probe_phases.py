@@ -8,6 +8,8 @@ Run on CPU (small batch) or TPU:  python tools/probe_phases.py [N]
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 if os.environ.get("PROBE_TPU", "0") != "1":
