@@ -234,9 +234,10 @@ def _instanced_lit_scene():
 
 
 def test_world_shadow_cache_tau_accuracy():
-    """World tau grid vs brute quadrature of the exact summed density
-    along the sun direction (multi-instance cached shadows)."""
-    from vpt_tpu.accel.shadow import world_tau_fetch
+    """Cell-row tau columns vs brute quadrature of the exact summed
+    density along the sun direction (multi-instance cached shadows —
+    the taus ride the majorant cell rows, accel.shadow._fold_cell_taus)."""
+    from vpt_tpu.accel.shadow import cell_tau_fetch as world_tau_fetch
     from vpt_tpu.core.vecmath import aabb_intersect, degree_to_cartesian
     from vpt_tpu.render.tracking import scene_density
 
@@ -244,7 +245,10 @@ def test_world_shadow_cache_tau_accuracy():
     az, el = 150.0, 30.0
     cs = attach_shadow_cache(scene, azimuth=az, elevation=el,
                              world_resolution=128)
-    assert cs.world_tau is not None and cs.world_tau.shape[-1] == 16
+    assert cs.world_tau is None  # cell-list scene: taus fold into rows
+    base = (scene.majorant.packed.shape[-1]
+            + scene.majorant.cell_instances.shape[-1])
+    assert cs.majorant.cell_rows.shape[-1] == base + 16
 
     rng = np.random.RandomState(1)
     lo = np.asarray(scene.root_pmin)
@@ -288,3 +292,42 @@ def test_world_shadow_cache_render_matches_tracked():
     assert np.isfinite(b).all()
     assert a.mean() > 0
     assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())
+
+
+def test_world_shadow_cache_below_cell_threshold():
+    """Instanced scenes WITHOUT cell lists fall back to the separate
+    world-tau table (one extra gather per step) and still agree with
+    the tracked estimator."""
+    rng = np.random.RandomState(5)
+    ids, xforms = [], []
+    for i in range(3):
+        xf = np.diag([0.2, 0.2, 0.2, 1.0])
+        xf[3, :3] = rng.uniform(0.0, 4.0, 3)
+        ids.append(0)
+        xforms.append(xf)
+    lights = PointLights.make([[8.0, 9.0, 8.0]], [[1.0, 1.0, 1.0]],
+                              [200.0])
+    scene = build_scene([_blob_grid(n=16)], instance_grid_ids=ids,
+                        instance_xforms=xforms, lights=lights,
+                        instance_list_threshold=64)
+    assert scene.majorant.cell_instances is None  # below threshold
+    c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+    d = float(np.linalg.norm(np.asarray(scene.root_pmax)
+                             - np.asarray(scene.root_pmin))) * 1.2
+    cam = Camera.make(c + np.array([0.0, 0.1 * d, d]), c, vfov=45.0,
+                      aspect=1.0)
+    scene = dataclasses.replace(scene, camera=cam)
+    kw = dict(width=24, height=24, ray_depth=4, max_track_steps=64,
+              max_fused_steps=256,
+              environment_type=int(Environment.BLACK))
+    a = np.asarray(ProgressiveRenderer(
+        scene, RenderParams(**kw)).render(12).accum)
+    cs = attach_shadow_cache(scene, azimuth=150.0, elevation=30.0,
+                             world_resolution=96)
+    assert cs.world_tau is not None  # fallback table populated
+    b = np.asarray(ProgressiveRenderer(
+        cs, RenderParams(**kw).replace(shadow_mode="cached")).render(
+            12).accum)
+    assert np.isfinite(b).all()
+    assert a.mean() > 0
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.12, (a.mean(), b.mean())

@@ -402,13 +402,86 @@ def _attach_world_shadow_cache(scene, azimuth, elevation, step_vox,
     xf = np.diag([cell, cell, cell, 1.0])
     xf[3, :3] = root_pmin
     lpos = np.asarray(scene.lights.pos, np.float64)
+    tau_fields = [tau_sun]
     for i in range(n_lights):
-        tau_l = point_tau_nodes(dens, xf, np.zeros(3), lpos[i])
-        channels.append(_corner_pack_plain(tau_l))
+        tau_fields.append(point_tau_nodes(dens, xf, np.zeros(3), lpos[i]))
 
+    major = scene.majorant
+    if major is not None and major.cell_rows is not None:
+        # cell-list scenes: fold the tau node values INTO the majorant
+        # cell rows, so the cached NEE rides the SAME per-step row
+        # gather the tracking loop already pays — zero extra gathers
+        # (the separate world_tau table costs one per step, measured
+        # slower than the tracked shadow walks it replaces on sparse
+        # scenes).  Tau nodes live on the cell grid's (R+1)^3 corner
+        # lattice (trilinear within a cell is continuous across
+        # cells); effective tau resolution = majorant_resolution.
+        return _fold_cell_taus(scene, tau_fields, cell, root_pmin)
+
+    channels = [_corner_pack_plain(t) for t in tau_fields]
     rows = np.concatenate(channels, axis=1).reshape(
         nz, ny, nx, 8 * (1 + n_lights))
     return _dc.replace(scene, world_tau=jnp.asarray(rows))
+
+
+def _fold_cell_taus(scene, tau_fields, cell_t, root_t):
+    """Append 8*(1+L) tau corner columns to MajorantGrid.cell_rows.
+
+    ``tau_fields``: node fields (nz,ny,nx) on the isotropic world tau
+    grid (voxel centers at root_t + (i+0.5)*cell_t); resampled onto
+    the cell grid's corner lattice and packed per cell in
+    _trilerp_weights order (c = x + 2y + 4z)."""
+    import dataclasses as _dc
+
+    major = scene.majorant
+    R = int(major.occupied.shape[0])
+    root_pmin = np.asarray(scene.root_pmin, np.float64)
+    root_pmax = np.asarray(scene.root_pmax, np.float64)
+    cs = (root_pmax - root_pmin) / R   # per-axis cell size
+    ax = [np.arange(R + 1, dtype=np.float64) * cs[a] + root_pmin[a]
+          for a in range(3)]
+    gz, gy, gx = np.meshgrid(ax[2], ax[1], ax[0], indexing="ij")
+    wpos = np.stack([gx, gy, gz], axis=-1)       # (R+1,R+1,R+1, xyz)
+    fidx = (wpos - np.asarray(root_t)) / cell_t - 0.5
+    packs = []
+    for field in tau_fields:
+        nodes = _trilinear_index(field, fidx)    # (R+1)^3 zyx
+        rc = np.empty((R, R, R, 8), np.float32)
+        for c in range(8):
+            dx, dy, dz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+            rc[..., c] = nodes[dz:dz + R, dy:dy + R, dx:dx + R]
+        packs.append(rc.reshape(-1, 8))
+    tau_rows = np.concatenate(packs, axis=1).astype(np.float32)
+    base = int(major.packed.shape[-1]) + int(major.cell_instances.shape[-1])
+    old = np.asarray(major.cell_rows)[:, :base]  # strip a prior bake
+    new_rows = np.concatenate([old, tau_rows], axis=1)
+    new_major = _dc.replace(major, cell_rows=jnp.asarray(new_rows))
+    return _dc.replace(scene, majorant=new_major, world_tau=None)
+
+
+def cell_tau_fetch(scene, pos):
+    """(..., 1+L) cached optical depths from the tau columns of the
+    majorant cell rows (the runtime path's interpolation, exposed for
+    tests/tools — the fused loop reads them via the SAME row gather
+    as the tracking step, tracking._cells_banded_fetch)."""
+    import jax
+
+    from vpt_tpu.render.tracking import _trilerp_weights
+    major = scene.majorant
+    R = major.occupied.shape[0]
+    base = int(major.packed.shape[-1]) + int(major.cell_instances.shape[-1])
+    cs = (scene.root_pmax - scene.root_pmin) / R
+    rel = (pos - scene.root_pmin) / cs
+    ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, R - 1)
+    flat = (ci[..., 2] * R + ci[..., 1]) * R + ci[..., 0]
+    (flat,) = jax.lax.optimization_barrier((flat,))
+    row = jnp.take(major.cell_rows, flat, axis=0)
+    tau8 = row[..., base:]
+    n_ch = tau8.shape[-1] // 8
+    frac = jnp.clip(rel - ci.astype(jnp.float32), 0.0, 1.0)
+    w8 = _trilerp_weights(frac)
+    return jnp.stack([jnp.sum(tau8[..., 8 * c:8 * c + 8] * w8, axis=-1)
+                      for c in range(n_ch)], axis=-1)
 
 
 def world_tau_fetch(scene, pos):

@@ -158,9 +158,20 @@ def fused_direct(scene, params, key, origin, direction,
     # extra row gather (multi-instance) — the medium event's whole
     # light loop costs ZERO walk iterations.  STATIC switch: it
     # reshapes the trace.
+    # instanced tau channels folded into the majorant cell rows
+    # (accel.shadow._fold_cell_taus) ride the step's existing row
+    # gather; the separate world_tau table (below-threshold scenes)
+    # costs one extra gather per step
+    cells_tau = 0
+    if (scene.majorant is not None
+            and scene.majorant.cell_rows is not None
+            and scene.majorant.cell_instances is not None):
+        base = (scene.majorant.packed.shape[-1]
+                + scene.majorant.cell_instances.shape[-1])
+        cells_tau = (scene.majorant.cell_rows.shape[-1] - base) // 8
     world_cached = (params.shadow_mode == "cached"
                     and scene.instances.count != 1
-                    and scene.world_tau is not None)
+                    and (scene.world_tau is not None or cells_tau > 0))
     cached_shadows = (params.shadow_mode == "cached"
                       and scene.instances.count == 1) or world_cached
     # single-instance scenes fetch EVERY channel from the unified
@@ -170,7 +181,8 @@ def fused_direct(scene, params, key, origin, direction,
     full_fetch = scene.instances.count == 1 and not _use_cells(scene)
     if cached_shadows:
         if world_cached:
-            n_ch = scene.world_tau.shape[-1] // 8 - 1
+            n_ch = (cells_tau - 1 if cells_tau
+                    else scene.world_tau.shape[-1] // 8 - 1)
         else:
             from vpt_tpu.accel.shadow import n_cached_lights
             n_ch = n_cached_lights(scene.atlas)
@@ -413,6 +425,9 @@ def fused_direct(scene, params, key, origin, direction,
             density, s_new, tbox_new = fr.density, fr.s_box, fr.t_box
             if cached_shadows:
                 taus = fr.tau
+        elif world_cached and cells_tau:
+            density, s_new, tbox_new, taus = unified_fetch(
+                scene, params, cursor, dirn, with_tau=True, banded=True)
         else:
             density, s_new, tbox_new = unified_fetch(scene, params, cursor,
                                                      dirn, banded=True)

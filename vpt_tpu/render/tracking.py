@@ -147,12 +147,15 @@ def _cell_rows(scene, pos):
     return valid, rows
 
 
-def _cells_banded_fetch(scene, pos, direction):
-    """(density, s_box, t_box) for instanced scenes from ONE combined
-    cell-row gather (MajorantGrid.cell_rows: [T_box, empty-box ext 6,
-    instance ids K]) + the K candidate corner-row gathers — one fewer
-    serialized gather per tracking step than the split cell-list +
-    majorant-row path (round 3)."""
+def _cells_banded_fetch(scene, pos, direction, with_tau: bool = False):
+    """(density, s_box, t_box[, taus]) for instanced scenes from ONE
+    combined cell-row gather (MajorantGrid.cell_rows: [T_box,
+    empty-box ext 6, octant ext 72?, instance ids K, tau 8*(1+L)?]) +
+    the K candidate corner-row gathers — one fewer serialized gather
+    per tracking step than the split cell-list + majorant-row path
+    (round 3).  ``with_tau`` interpolates the shadow-cache optical
+    depths (accel.shadow._fold_cell_taus) from the same row — the
+    cached NEE costs ZERO extra gathers."""
     major = scene.majorant
     R = major.occupied.shape[0]
     cs = (scene.root_pmax - scene.root_pmin) / R
@@ -180,7 +183,8 @@ def _cells_banded_fetch(scene, pos, direction):
         s_box = jnp.where(t_box <= 0.0,
                           jnp.maximum(s_box, jnp.maximum(t_oct, 0.0)),
                           s_box)
-    ids = row[..., ids_off:].astype(jnp.int32)
+    n_slots = scene.majorant.cell_instances.shape[-1]
+    ids = row[..., ids_off:ids_off + n_slots].astype(jnp.int32)
     valid = ids >= 0
     n_inst = scene.instances.packed_rows.shape[0]
     if n_inst <= 4096:
@@ -196,6 +200,18 @@ def _cells_banded_fetch(scene, pos, direction):
     for k in range(K):
         d = _density_from_row(scene.atlas, rows[..., k, :], pos)
         density = density + jnp.where(valid[..., k], d, 0.0)
+    if with_tau:
+        tau8 = row[..., ids_off + n_slots:]
+        n_ch = tau8.shape[-1] // 8
+        if n_ch == 0:
+            raise ValueError("with_tau: cell rows carry no tau columns "
+                             "(run accel.shadow.attach_shadow_cache)")
+        frac = jnp.clip(rel - ci.astype(jnp.float32), 0.0, 1.0)
+        w8 = _trilerp_weights(frac)
+        taus = jnp.stack(
+            [jnp.sum(tau8[..., 8 * c:8 * c + 8] * w8, axis=-1)
+             for c in range(n_ch)], axis=-1)
+        return density, s_box, t_box, taus
     return density, s_box, t_box
 
 
@@ -318,13 +334,15 @@ def unified_fetch(scene, params, pos, direction, with_tau: bool = False,
     if scene.instances.count == 1 and not _use_cells(scene):
         return _unified_fetch_single(scene, params, pos, direction,
                                      with_tau, banded)
-    if with_tau:
-        raise ValueError("in-row shadow taus require a single-instance "
-                         "scene (instanced scenes use the world tau "
-                         "grid, accel.shadow.world_tau_fetch)")
     if (banded and params.use_majorant and _use_cells(scene)
             and scene.majorant.cell_rows is not None):
-        return _cells_banded_fetch(scene, pos, direction)
+        return _cells_banded_fetch(scene, pos, direction,
+                                   with_tau=with_tau)
+    if with_tau:
+        raise ValueError("in-row shadow taus require a single-instance "
+                         "scene or an instanced scene with cell lists "
+                         "(below the threshold, the world tau grid / "
+                         "accel.shadow.world_tau_fetch path applies)")
     density = scene_density(scene, pos)
     if not params.use_majorant or scene.majorant is None:
         zero = jnp.zeros_like(density)
