@@ -132,3 +132,43 @@ def test_fused_ray_queues_hdri_deferred_env(scene):
     assert np.isfinite(b).all() and (b >= 0).all()
     assert a.mean() > 0
     assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())
+
+
+def test_fused_emit_skip_halo_agreement():
+    """EMIT empty-box jumping (emission-safe zero band): an emission
+    SHELL living entirely where density == 0 is the adversarial case —
+    if the skip field ignored emission support, the EMIT walk would
+    jump straight over the glow and lose its energy.  _corner_pack
+    folds the emission 3^3-majorant into the t==0 occupancy, so the
+    fused estimator must still match the reference engine's mean
+    (reference emission estimator: render_kernel.cu:1275-1339)."""
+    from vpt_tpu.scene.scene import build_scene
+    from vpt_tpu.volume.grid import HostGrid
+
+    n = 32
+    z, y, x = np.mgrid[:n, :n, :n].astype(np.float32)
+    r = np.sqrt((x - n / 2) ** 2 + (y - n / 2) ** 2 + (z - n / 2) ** 2)
+    dens = np.clip(1.0 - r / (n / 5.0), 0.0, 1.0).astype(np.float32)
+    em = np.clip(1.0 - np.abs(r - n / 3.0) / (n / 10.0),
+                 0.0, 1.0).astype(np.float32) * 0.8
+    assert ((em > 0) & (dens == 0)).sum() > 1000  # the shell IS a halo
+    g = HostGrid(density_zyx=dens, emission_zyx=em, color_zyx=None,
+                 bbox_min=np.zeros(3, np.int32),
+                 dim=np.array([n, n, n], np.int32),
+                 transform=np.diag([0.2, 0.2, 0.2, 1.0]), voxel_size=0.2,
+                 max_density=float(dens.max()), min_density=1e-6)
+    s = build_scene([g])
+    c = (np.asarray(s.root_pmin) + np.asarray(s.root_pmax)) / 2
+    cam = Camera.make(c + np.array([0.0, 1.0, 8.0]), c, vfov=40.0,
+                      aspect=1.0)
+    s = dataclasses.replace(s, camera=cam)
+    kw = dict(BASE, emission_scale=2.0, emission_pivot=1.0)
+    f_ref = ProgressiveRenderer(
+        s, RenderParams(engine="reference", **kw)).render(16)
+    f_fus = ProgressiveRenderer(
+        s, RenderParams(engine="fused", **kw)).render(16)
+    a = np.asarray(f_ref.accum)
+    b = np.asarray(f_fus.accum)
+    assert np.isfinite(b).all() and (b >= 0).all()
+    assert a.mean() > 0
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())

@@ -179,6 +179,14 @@ def fused_direct(scene, params, key, origin, direction,
     # same banded (density, s_box, T_box) contract from the majorant
     # cell grid's packed rows
     full_fetch = scene.instances.count == 1 and not _use_cells(scene)
+    # EMIT walks may jump/exit-fold t_box==0 boxes ONLY on the unified
+    # corner-row path: _corner_pack folds the emission 3^3-majorant
+    # into the zero band there (emission-safe by construction), while
+    # the instanced majorant-cell/world-tau skip fields are built from
+    # density alone.  Jumping an emission-free span adds exactly 0 to
+    # the Poisson-sampled emission sum (memoryless restart past the
+    # span), so the estimator is unchanged.
+    emit_skip = full_fetch and scene.atlas.has_emission
     if cached_shadows:
         if world_cached:
             n_ch = (cells_tau - 1 if cells_tau
@@ -408,11 +416,14 @@ def fused_direct(scene, params, key, origin, direction,
         e_loc = -jnp.log1p(-u[:, 4]) / jnp.maximum(
             tbox * params.density_mult, 1e-12)
         in_box = marching & (tbox > 0.0) & (e_loc <= skip)
+        # SHADOW always jumps guaranteed-empty boxes; EMIT joins it on
+        # emission-safe tables (emit_skip, see the static gate above)
+        can_jump = (shadowing | emitting) if emit_skip else shadowing
         jumped = (skip > 0.0) & ((marching & ~in_box)
-                                 | (shadowing & (tbox <= 0.0)))
+                                 | (can_jump & (tbox <= 0.0)))
         dt = jnp.where(marching,
                        jnp.where(in_box, e_loc, skip + e_glob),
-                       jnp.where(shadowing,
+                       jnp.where(can_jump,
                                  jnp.where(tbox <= 0.0, skip, 0.0) + e_glob,
                                  e_glob))
         t_new = jnp.where(walking, t + dt, t)
@@ -444,12 +455,13 @@ def fused_direct(scene, params, key, origin, direction,
         # exit folding: when the landing's empty box provably covers
         # the rest of the walk, end it THIS iteration instead of
         # discovering the exit with one more gather next iteration
-        covers = sampled & ~emitting & (tbox_new <= 0.0) & (s_new > 0.0) \
+        cov_lanes = sampled if emit_skip else (sampled & ~emitting)
+        covers = cov_lanes & (tbox_new <= 0.0) & (s_new > 0.0) \
             & (t_new + s_new >= dist)
         if phase_counts:
             # chained: landed in ANOTHER empty box mid-walk — the next
             # iteration will jump again (per-octant box-growth target)
-            chained = (sampled & ~emitting & (tbox_new <= 0.0)
+            chained = (cov_lanes & (tbox_new <= 0.0)
                        & (s_new > 0.0) & ~covers)
             pcnt_new = jnp.stack(
                 [jumped & ~exited,
@@ -664,7 +676,9 @@ def fused_direct(scene, params, key, origin, direction,
         phase = jnp.where(resume_seek, P_SEEK, phase)
 
         # ----------------------------------------- EMIT walk end -----
-        e_end = emitting & exited
+        # covers & emitting is only reachable when emit_skip (the box
+        # is then provably emission-free to the walk's end: exact)
+        e_end = emitting & (exited | covers)
         pos = jnp.where(e_end[..., None], anchor, pos)
         dirn = jnp.where(e_end[..., None], sdir, dirn)
         phase = jnp.where(e_end, jnp.where(sph_res, P_SEEK, P_DONE), phase)

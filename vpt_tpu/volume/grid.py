@@ -392,7 +392,8 @@ BAND_DIVISORS = (0.0, 1 / 8, 1 / 4, 1 / 2, 1.0)
 
 def _corner_pack(d_zyx: np.ndarray,
                  band_divisors: tuple | None = None,
-                 octant_boxes: bool = False) -> np.ndarray:
+                 octant_boxes: bool = False,
+                 emit_zyx: np.ndarray | None = None) -> np.ndarray:
     """(nz,ny,nx) -> (nx*ny*nz, 15) rows: the 2x2x2 neighborhood of
     voxel i (tap order corner = x + 2y + 4z, edge-clamped to match
     trilinear clamp addressing) PLUS acceleration channels:
@@ -426,6 +427,22 @@ def _corner_pack(d_zyx: np.ndarray,
         m = np.maximum(m, np.roll(maj, -1, axis=axis))
         maj = m  # roll wrap only over-estimates (safe)
 
+    # EMISSION-SAFE zero band: the EMIT walk (fused.py) jumps t_box==0
+    # boxes, which is exact only if they are also emission-free.  OR
+    # the emission 3^3-neighborhood majorant (same trilinear-support
+    # argument as the density majorant above) into the t==0 occupancy
+    # — boxes only SHRINK, so MARCH/SHADOW stay exact; bands t>0 are
+    # untouched (EMIT never jumps them).
+    extra_occ = None
+    if emit_zyx is not None:
+        emaj = np.asarray(emit_zyx, np.float32).copy()
+        for axis in (0, 1, 2):
+            m = emaj.copy()
+            m = np.maximum(m, np.roll(emaj, 1, axis=axis))
+            m = np.maximum(m, np.roll(emaj, -1, axis=axis))
+            emaj = m
+        extra_occ = emaj > 0.0
+
     gmax = float(maj.max())
     bands = [gmax * f for f in (band_divisors or BAND_DIVISORS)]
     band_idx = np.zeros(maj.shape, np.int8)
@@ -437,7 +454,10 @@ def _corner_pack(d_zyx: np.ndarray,
         sel = band_idx == b
         if not sel.any():
             continue
-        eb = _empty_box_extents(maj > t, where=sel)
+        occ = maj > t
+        if t <= 0.0 and extra_occ is not None:
+            occ = occ | extra_occ
+        eb = _empty_box_extents(occ, where=sel)
         ext[:, sel] = eb[:, sel]
         t_box[sel] = t
     out[8] = t_box
@@ -448,7 +468,10 @@ def _corner_pack(d_zyx: np.ndarray,
         # 15:87) for the guaranteed-empty (maj == 0) voxels: the
         # runtime takes the max of the symmetric and octant box exits
         # when empty
-        oct_ext = _octant_box_extents(maj > 0.0)
+        occ0 = maj > 0.0
+        if extra_occ is not None:
+            occ0 = occ0 | extra_occ
+        oct_ext = _octant_box_extents(occ0)
         out = np.concatenate([out, oct_ext], axis=0)
 
     # flat voxel order matches _flat_index: (z*ny + y)*nx + x
@@ -551,7 +574,8 @@ def build_atlas(host_grids: list[HostGrid],
     any_col = any(g.color_zyx is not None for g in host_grids)
     corner_parts = []
     for g in host_grids:
-        part = [_corner_pack(g.density_zyx, band_divisors, octant_boxes)]
+        part = [_corner_pack(g.density_zyx, band_divisors, octant_boxes,
+                             emit_zyx=g.emission_zyx)]
         nvox = part[0].shape[0]
         if any_em:
             part.append(_corner_pack_plain(np.asarray(
