@@ -172,3 +172,47 @@ def test_fused_emit_skip_halo_agreement():
     assert np.isfinite(b).all() and (b >= 0).all()
     assert a.mean() > 0
     assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())
+
+
+def test_strat_schedule_exact_permutation(scene):
+    """Cost-stratified lane assignment (renderer.trace_rays) is a pure
+    ray permutation: with density_mult=0 every ray's radiance is the
+    deterministic HDRI lookup of its direction, so per-ray outputs must
+    match the unstratified trace EXACTLY for any cost hint."""
+    import jax
+    import jax.numpy as jnp
+    from vpt_tpu.render.renderer import trace_rays
+    from vpt_tpu.scene.scene import attach_env_map
+    H, W = 16, 32
+    v = np.linspace(0, 1, H, dtype=np.float32)[:, None]
+    env = v * np.linspace(0.2, 1.0, W, dtype=np.float32)[None, :]
+    env_rgb = np.stack([env, env * 0.5, env * 2.0], -1).astype(np.float32)
+    s = attach_env_map(scene, env_rgb)
+    B = 512
+    key = jax.random.PRNGKey(5)
+    d = jax.random.normal(key, (B, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(jnp.asarray(np.asarray(s.root_pmin) - 5.0,
+                                     np.float32), (B, 3))
+    kw = dict(BASE, environment_type=int(Environment.HDRI))
+    hint = jax.random.uniform(jax.random.PRNGKey(9), (B,)) * 100.0
+    p_on = RenderParams(engine="fused", rays_per_lane=4, fused_tile=256,
+                        density_mult=0.0, **kw)
+    p_off = p_on.replace(strat_schedule=False)
+    L1, a1, _ = trace_rays(s, p_off, key, o, d, cost_hint=hint)
+    L2, a2, _ = trace_rays(s, p_on, key, o, d, cost_hint=hint)
+    np.testing.assert_allclose(np.asarray(L2), np.asarray(L1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-7)
+
+
+def test_strat_schedule_progressive_match(scene):
+    """Stratified scheduling through the progressive loop (film cost
+    AOV as the hint) is the same estimator as unstratified queues."""
+    p = RenderParams(engine="fused", rays_per_lane=4, **BASE)
+    f_on = ProgressiveRenderer(scene, p).render(16)
+    f_off = ProgressiveRenderer(
+        scene, p.replace(strat_schedule=False)).render(16)
+    a = np.asarray(f_off.accum)
+    b = np.asarray(f_on.accum)
+    assert np.isfinite(b).all() and (b >= 0).all()
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())

@@ -128,7 +128,22 @@ def trace_rays(scene, params, key, origin, direction, cost_hint=None):
     run, tile = _engine_fn(scene, params)
     tile = min(tile, max(B, 1))
 
-    use_blocks = (params.engine == "fused"
+    # cost-STRATIFIED lane assignment (queue tiles): the while-loop
+    # runs until the slowest LANE drains its Q-ray queue, and with
+    # pixel-order assignment the lane queue-sums vary ~3x around the
+    # mean (measured: config1 cached ran 70 loop trips where the mean
+    # queue-sum was 24).  Rank-sorting rays by the film's per-pixel
+    # cost AOV and dealing rank r to lane r % n_lanes gives every lane
+    # one ray from each cost stratum — queue sums concentrate at the
+    # mean, so per-tile trips approach Q x mean instead of Q x max.
+    # Iteration 0 (all-zero hint) is the identity permutation.
+    Q = params.rays_per_lane
+    use_strat = (params.engine == "fused"
+                 and params.integrator == int(Integrator.DIRECT)
+                 and params.strat_schedule and Q > 1
+                 and tile % Q == 0 and cost_hint is not None)
+
+    use_blocks = (not use_strat and params.engine == "fused"
                   and params.integrator == int(Integrator.DIRECT)
                   and params.block_tiles > 0 and B > tile
                   and tile % _CHUNK == 0)
@@ -141,7 +156,23 @@ def trace_rays(scene, params, key, origin, direction, cost_hint=None):
         direction_p, _ = _pad_to(direction_p, tile)
     bp = origin_p.shape[0]
 
-    inv_perm = None
+    inv_perm = None   # chunk-level inverse (block scheduling)
+    ray_inv = None    # per-ray inverse (stratified lane assignment)
+    if use_strat:
+        hint_p, _ = _pad_to(cost_hint, tile)
+        bt = tile // Q     # lanes per tile
+        ltot = bp // Q     # lanes across all tiles
+        # rank -> ray id (stable: an all-zero hint is the identity)
+        order = jnp.argsort(hint_p).astype(jnp.int32)
+        k = jnp.arange(bp, dtype=jnp.int32)
+        lane_g = k % ltot
+        # rank k lands in tile lane_g//bt, slot k//ltot, lane lane_g%bt
+        # (fused_direct reads slot q of a tile at offset q*bt)
+        dest = (lane_g // bt) * tile + (k // ltot) * bt + (lane_g % bt)
+        perm = jnp.zeros(bp, jnp.int32).at[dest].set(order)
+        ray_inv = jnp.zeros(bp, jnp.int32).at[perm].set(k)
+        origin_p = jnp.take(origin_p, perm, axis=0)
+        direction_p = jnp.take(direction_p, perm, axis=0)
     if use_blocks:
         nc = bp // _CHUNK
         if cost_hint is not None:
@@ -175,6 +206,10 @@ def trace_rays(scene, params, key, origin, direction, cost_hint=None):
     aux = {k: jnp.concatenate([o[2].get(k, jnp.zeros(tile)) for o in outs])
            for k in aux_keys}
 
+    if ray_inv is not None:
+        L = jnp.take(L, ray_inv, axis=0)
+        alpha = jnp.take(alpha, ray_inv, axis=0)
+        aux = {k2: jnp.take(v, ray_inv, axis=0) for k2, v in aux.items()}
     if inv_perm is not None:
         nc = bp // _CHUNK
         L = jnp.take(L.reshape(nc, _CHUNK, 3), inv_perm,
