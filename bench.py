@@ -13,8 +13,20 @@ a documented estimate of VPT on an RTX-class GPU for config 1:
 ~30 Mrays/s primary throughput.
 
 Truncation audit: the fused engine reports per-ray step-budget
-truncation (fused.py `unfinished`); every scenario reports the
-fraction (must be 0 for honest throughput — VERDICT r1 weak #5).
+truncation (fused.py `unfinished`), accumulated on the film's trunc
+AOV; every scenario reports the fraction (must be 0 for honest
+throughput — VERDICT r1 weak #5).
+
+Robustness contract (round 4): the driver runs this under a fixed
+`timeout`; a kill would record NOTHING (the BENCH_r03 failure: rc=124,
+parsed=null).  Defenses, in order:
+  1. scenarios are ordered most-important-first (config1 + the
+     north star carry the primary metric);
+  2. a global deadline (BENCH_DEADLINE_S, default 480 s) skips
+     remaining scenarios and emits what completed;
+  3. a SIGTERM/SIGINT handler emits the partial JSON immediately —
+     `timeout` sends SIGTERM before SIGKILL, so even a misjudged
+     deadline still records the completed scenarios.
 """
 
 from __future__ import annotations
@@ -22,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import signal
 import sys
 import time
 
@@ -34,21 +47,68 @@ ITERS = int(os.environ.get("BENCH_ITERS", 16))
 ENGINE = os.environ.get("BENCH_ENGINE", "fused")
 FUSED_STEPS = int(os.environ.get("BENCH_FUSED_STEPS", 128))
 # the north-star 1024-spp wall-clock is MEASURED by default (VERDICT r2
-# #4); BENCH_FULL_1080P=0 falls back to the ms/spp extrapolation
+# #4) when the remaining deadline budget covers the projected run;
+# BENCH_FULL_1080P=0 forces the ms/spp extrapolation
 FULL_1080 = os.environ.get("BENCH_FULL_1080P", "1") == "1"
 ONLY = os.environ.get("BENCH_ONLY", "")  # comma-sep scenario filter
-# Global deadline: once elapsed wall exceeds this, remaining scenarios
-# are SKIPPED (logged) and the JSON is emitted with what completed — a
-# driver-side timeout would otherwise kill the process and record
-# NOTHING (the empty BENCH json failure mode).  Compiles through the
-# remote tunnel vary 8 s-10 min, so a bad-weather day can blow any
-# fixed budget.
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 3600))
+# BENCH_EXTRA=1 adds the low-signal variants (cached config2/3, cached
+# union) that each cost a ~25 s tunnel compile
+EXTRA = os.environ.get("BENCH_EXTRA", "0") == "1"
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 480))
 T0 = time.time()
 
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+# ---- state shared with the signal handler --------------------------------
+STATE = {
+    "results": {},
+    "north": {},
+    "gather_rate_ns": None,
+    "emitted": False,
+}
+
+
+def emit(tag=None):
+    """Print the one JSON line from whatever has completed."""
+    if STATE["emitted"]:
+        return
+    STATE["emitted"] = True
+    results = STATE["results"]
+    best = results.get("config1_dragon_cached",
+                       results.get("config1_dragon", {}))
+    primary = best.get("mrays_per_s", 0.0)
+    out = {
+        "metric": "primary Mrays/s/chip (dragon.vdb 512x512, config-1, "
+                  "best validated mode)",
+        "value": primary,
+        "unit": "Mrays/s",
+        "vs_baseline": round(primary / BASELINE_MRAYS, 4),
+        "primary_shadow_mode": best.get("shadow_mode", "tracked"),
+        "gather_rate_ns_per_lane_iter": (
+            round(STATE["gather_rate_ns"], 2)
+            if STATE["gather_rate_ns"] else None),
+        "scenarios": results,
+        "north_star_1080p": STATE["north"],
+        "engine": ENGINE,
+        "elapsed_s": round(time.time() - T0, 1),
+    }
+    if tag:
+        out["terminated_by"] = tag
+    print(json.dumps(out), flush=True)
+
+
+def _on_term(signum, frame):  # noqa: ARG001
+    _log(f"# signal {signum}: emitting partial results and exiting")
+    emit(tag=f"signal {signum}")
+    sys.stdout.flush()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGINT, _on_term)
 
 
 def main():
@@ -61,7 +121,7 @@ def main():
     from vpt_tpu.lights.lights import PointLights
     from vpt_tpu.render.film import Film
     from vpt_tpu.render.params import Environment, RenderParams
-    from vpt_tpu.render.renderer import render_rays, render_step
+    from vpt_tpu.render.renderer import render_step
     from vpt_tpu.scene.scene import build_scene, load_vdb_scene
     from vpt_tpu.volume.grid import HostGrid
 
@@ -76,12 +136,9 @@ def main():
         except RuntimeError as e:
             if time.time() - T0 > min(DEADLINE_S, 1800):
                 _log(f"# device init failed past deadline: {e!r}")
-                print(json.dumps({
-                    "metric": "primary Mrays/s/chip (dragon.vdb 512x512, "
-                              "config-1, best validated mode)",
-                    "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
-                    "error": f"TPU backend unavailable: {e!r}"[:300],
-                }))
+                STATE["results"]["__error"] = (
+                    f"TPU backend unavailable: {e!r}"[:300])
+                emit(tag="device unavailable")
                 return
             _log(f"# device init failed ({e!r}); retrying in 60s")
             time.sleep(60)
@@ -90,6 +147,8 @@ def main():
             except Exception:  # noqa: BLE001
                 pass
     _log(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}")
+
+    results = STATE["results"]
 
     def aim_camera(scene, w, h, dist_scale=1.0, offset=(0.0, 1.0, 10.0)):
         c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
@@ -106,11 +165,15 @@ def main():
         outliers with identical HLO — tools/probe_hlo.py), which would
         otherwise poison a single mean.
 
-        mean_iters = mean walking loop-iterations per ray (the fused
-        cost AOV) — the weather-NORMALIZED progress metric (VERDICT r2
-        #5): wall ≈ iterations x lanes x the day's serialized-gather
-        rate, so iteration counts are comparable across rounds while
-        raw wall-clock is confounded by the tunnel's rate.
+        mean_iters = mean walking loop-iterations per ray, read from
+        the film's additive cost AOV (total steps / iterations) — the
+        weather-NORMALIZED progress metric (VERDICT r2 #5): wall ≈
+        iterations x lanes x the day's serialized-gather rate, so
+        iteration counts are comparable across rounds while raw
+        wall-clock is confounded by the tunnel's rate.  trunc comes
+        from the film's trunc AOV the same way — NO separate
+        render_rays compile (each cost ~20 s of tunnel compile in r3
+        and contributed to the driver-timeout kill).
         """
         film = Film.zeros(params.height, params.width)
         it = 0
@@ -136,11 +199,8 @@ def main():
         trunc = -1.0
         mean_iters = None
         if params.engine == "fused":
-            from vpt_tpu.core.rng import render_key
-            _, _, aux = jax.jit(render_rays)(scene, params,
-                                             render_key(params.seed, 0))
-            trunc = float(np.asarray(aux["trunc"]).mean())
-            mean_iters = float(np.asarray(aux["cost"]).mean())
+            trunc = float(np.asarray(film.trunc).mean()) / it
+            mean_iters = float(np.asarray(film.cost).mean()) / it
         _log(f"# [{label}] {dt*1000:.1f} ms/spp  {mrays:.2f} Mrays/s  "
              f"trunc={trunc:.4f}  iters/ray={mean_iters}")
         return dt * 1000, mrays, trunc, mean_iters
@@ -166,7 +226,6 @@ def main():
             transform=np.diag([0.1, 0.1, 0.1, 1.0]), voxel_size=0.1,
             max_density=float(dens.max()), min_density=1e-6)
 
-    results = {}
     W = H = 512
     base_kw = dict(width=W, height=H, ray_depth=50, volume_depth=1,
                    max_track_steps=256, engine=ENGINE,
@@ -199,7 +258,7 @@ def main():
 
     def entry(ms, mr, tr, iters, **kw):
         d = dict(ms_per_spp=round(ms, 2), mrays_per_s=round(mr, 3),
-                 trunc_frac=tr, **kw)
+                 trunc_frac=round(tr, 5), **kw)
         if iters is not None:
             d["mean_iters_per_ray"] = round(iters, 2)
         return d
@@ -207,7 +266,7 @@ def main():
     def measure_cached(scene, params, label, azimuth=150.0, elevation=30.0):
         """Cached-shadow variant (accel/shadow.py): precomputed
         optical-depth NEE, expectation-equal to the tracked walks
-        (bounded by tests/test_shadow.py).  Single-instance scenes."""
+        (bounded by tests/test_shadow.py)."""
         from vpt_tpu.accel.shadow import attach_shadow_cache
         cscene = attach_shadow_cache(scene, azimuth=azimuth,
                                      elevation=elevation)
@@ -217,7 +276,6 @@ def main():
 
     # ---- config 1: dragon.vdb, one point light, no atmosphere ----------
     dragon_scene = None
-    gather_rate_ns = None
     if want("config1_dragon") or want("north_star"):
         lights = PointLights.make([[5.0, 8.0, 12.0]], [[1.0, 1.0, 1.0]],
                                   [300.0])
@@ -230,7 +288,7 @@ def main():
         dragon_scene = load_vdb_scene("/root/reference/assets/dragon.vdb",
                                       lights=lights, **_oct_kw)
         # weather calibration: the remote TPU's serialized-gather rate
-        # varies 4.5-6.5+ ns/lane-iteration across sessions with
+        # varies 4.5-16+ ns/lane-iteration across sessions with
         # IDENTICAL programs (ARCHITECTURE 'measurement health
         # warning').  A fixed-iteration fori run isolates it so each
         # bench records the day's rate next to its throughput.
@@ -248,8 +306,8 @@ def main():
             film = render_step(cal_scene, cal, film, jnp.uint32(2 + w))
         float(film.accum.sum())
         lanes = 256 * 256 * 32  # tiles x iters x tile-size collapses
-        gather_rate_ns = (time.time() - t0) / 4 / lanes * 1e9
-        _log(f"# gather-rate calibration: {gather_rate_ns:.2f} "
+        STATE["gather_rate_ns"] = (time.time() - t0) / 4 / lanes * 1e9
+        _log(f"# gather-rate calibration: {STATE['gather_rate_ns']:.2f} "
              "ns/lane-iteration")
     if want("config1_dragon"):
       with guard("config1_dragon"):
@@ -262,72 +320,46 @@ def main():
               results["config1_dragon_cached"] = measure_cached(
                   scene, params, "config1_dragon_cached")
 
-    # ---- config 2: emission + blackbody LUT (fireball analog) ----------
-    if want("config2_fireball"):
-      with guard("config2_fireball"):
-          scene = build_scene([blob(emission=True)])
-          scene = aim_camera(scene, W, H, offset=(0.0, 1.0, 9.0))
+    # ---- north star: 1080p dragon, wall-clock to 1024 spp --------------
+    # Runs right after config1 (not last) so the headline wall-clock
+    # lands even when later scenarios hit the deadline.  The full
+    # 1024-spp run only starts when the PROJECTED wall (measured
+    # ms/spp x 1024 + margin) fits the remaining budget.
+    if want("north_star") and dragon_scene is not None:
+      with guard("north_star"):
+          scene = aim_camera(dragon_scene, 1920, 1080)
           params = RenderParams(environment_type=int(Environment.BLACK),
-                                emission_scale=2.0, emission_pivot=1.0,
-                                **base_kw)
-          results["config2_fireball"] = entry(
-              *measure(scene, params, "config2_fireball"))
+                                **{**base_kw, "width": 1920, "height": 1080})
           if use_cached:
-              results["config2_fireball_cached"] = measure_cached(
-                  scene, params, "config2_fireball_cached")
-
-    # ---- config 3: colored smoke + HDRI env + DOF ----------------------
-    if want("config3_smoke_hdri"):
-      with guard("config3_smoke_hdri"):
-          from vpt_tpu.scene.scene import attach_env_map
-          eh, ew = 128, 256
-          ty = np.linspace(1.0, 0.0, eh, dtype=np.float32)[:, None, None]
-          env = (np.array([0.35, 0.55, 1.0], np.float32) * ty
-                 + np.array([0.9, 0.6, 0.3], np.float32) * (1 - ty))
-          env = np.broadcast_to(env, (eh, ew, 3)).copy()
-          env[eh // 4, ew // 3] = [60.0, 55.0, 45.0]  # bright "sun" texel
-          scene = build_scene([blob(color=True)])
-          scene = attach_env_map(scene, env)
-          c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
-          cam = Camera.make(c + np.array([0.0, 1.0, 9.0]), c, vfov=40.0,
-                            aspect=1.0, aperture=0.25)
-          scene = dataclasses.replace(scene, camera=cam)
-          params = RenderParams(environment_type=int(Environment.HDRI),
-                                **base_kw)
-          results["config3_smoke_hdri"] = entry(
-              *measure(scene, params, "config3_smoke_hdri"))
-          if use_cached:
-              results["config3_smoke_hdri_cached"] = measure_cached(
-                  scene, params, "config3_smoke_hdri_cached")
-
-    # ---- config 4: Bruneton planetary atmosphere -----------------------
-    if want("config4_atmosphere"):
-      with guard("config4_atmosphere"):
-          from vpt_tpu.scene.scene import attach_atmosphere
-          from vpt_tpu.sky.bruneton import LutDims
-          half = LutDims(transmittance_w=128, transmittance_h=32, r=16,
-                         mu=64, mu_s=16, nu=4, irradiance_w=32,
-                         irradiance_h=8)
-          cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "out", "atmo_bench_cache.npz")
-          os.makedirs(os.path.dirname(cache), exist_ok=True)
-          scene = build_scene([blob()])
-          scene = attach_atmosphere(scene, cache_path=cache, dims=half)
-          scene = aim_camera(scene, W, H, offset=(0.0, 0.5, 9.0))
-          params = RenderParams(environment_type=int(Environment.ATMOSPHERE),
-                                **base_kw)
-          results["config4_atmosphere"] = entry(
-              *measure(scene, params, "config4_atmosphere"))
-          if ENGINE == "fused":
-              # baked-sky variant: the full per-ray Bruneton terminal
-              # evaluation measured ~80% of this scenario's wall time;
-              # the equirect cache replaces it with one bilinear fetch
-              # (accuracy bounded by tests/test_bruneton.py)
-              from vpt_tpu.scene.scene import attach_sky_cache
-              bscene = attach_sky_cache(scene, azimuth=150.0, elevation=30.0)
-              results["config4_baked_sky"] = entry(
-                  *measure(bscene, params, "config4_baked_sky"),
-                  sky="baked")
+              from vpt_tpu.accel.shadow import attach_shadow_cache
+              scene = attach_shadow_cache(scene, azimuth=150.0,
+                                          elevation=30.0)
+              params = params.replace(shadow_mode="cached")
+          ms, mr, tr, iters = measure(scene, params, "north_star_1080p")
+          projected = ms * 1024 / 1000
+          budget = DEADLINE_S - (time.time() - T0)
+          if FULL_1080 and projected * 1.15 + 20 <= budget:
+              film = Film.zeros(1080, 1920)
+              t0 = time.time()
+              for it in range(1024):
+                  film = render_step(scene, params, film, jnp.uint32(it))
+              float(film.accum.sum())
+              wall = time.time() - t0
+              _log(f"# [north_star_1080p] measured 1024-spp wall-clock: "
+                   f"{wall:.1f}s")
+              STATE["north"] = entry(ms, mr, tr, iters,
+                                     wallclock_1024spp_s=round(wall, 1),
+                                     measured=True)
+          else:
+              if FULL_1080:
+                  _log(f"# [north_star_1080p] projected {projected:.0f}s "
+                       f"> budget {budget:.0f}s; extrapolating")
+              STATE["north"] = entry(
+                  ms, mr, tr, iters,
+                  wallclock_1024spp_s=round(ms * 1024 / 1000, 1),
+                  measured=False)
+          STATE["north"]["shadow_mode"] = ("cached" if use_cached
+                                           else "tracked")
 
     # ---- config 5: instanced cloudscape (thousands of instances) -------
     def cloud_xforms(n_inst, seed=7):
@@ -390,9 +422,76 @@ def main():
           results["config5_union"] = entry(
               *measure(uscene, params, "config5_union"),
               n_instances=n_inst, mode="union320")
-          if use_cached:
+          if use_cached and EXTRA:
               results["config5_union_cached"] = measure_cached(
                   uscene, params, "config5_union_cached")
+
+    # ---- config 4: Bruneton planetary atmosphere -----------------------
+    if want("config4_atmosphere"):
+      with guard("config4_atmosphere"):
+          from vpt_tpu.scene.scene import attach_atmosphere
+          from vpt_tpu.sky.bruneton import LutDims
+          half = LutDims(transmittance_w=128, transmittance_h=32, r=16,
+                         mu=64, mu_s=16, nu=4, irradiance_w=32,
+                         irradiance_h=8)
+          cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "out", "atmo_bench_cache.npz")
+          os.makedirs(os.path.dirname(cache), exist_ok=True)
+          scene = build_scene([blob()])
+          scene = attach_atmosphere(scene, cache_path=cache, dims=half)
+          scene = aim_camera(scene, W, H, offset=(0.0, 0.5, 9.0))
+          params = RenderParams(environment_type=int(Environment.ATMOSPHERE),
+                                **base_kw)
+          results["config4_atmosphere"] = entry(
+              *measure(scene, params, "config4_atmosphere"))
+          if ENGINE == "fused":
+              # baked-sky variant: the full per-ray Bruneton terminal
+              # evaluation measured ~80% of this scenario's wall time;
+              # the equirect cache replaces it with one bilinear fetch
+              # (accuracy bounded by tests/test_bruneton.py)
+              from vpt_tpu.scene.scene import attach_sky_cache
+              bscene = attach_sky_cache(scene, azimuth=150.0, elevation=30.0)
+              results["config4_baked_sky"] = entry(
+                  *measure(bscene, params, "config4_baked_sky"),
+                  sky="baked")
+
+    # ---- config 2: emission + blackbody LUT (fireball analog) ----------
+    if want("config2_fireball"):
+      with guard("config2_fireball"):
+          scene = build_scene([blob(emission=True)])
+          scene = aim_camera(scene, W, H, offset=(0.0, 1.0, 9.0))
+          params = RenderParams(environment_type=int(Environment.BLACK),
+                                emission_scale=2.0, emission_pivot=1.0,
+                                **base_kw)
+          results["config2_fireball"] = entry(
+              *measure(scene, params, "config2_fireball"))
+          if use_cached and EXTRA:
+              results["config2_fireball_cached"] = measure_cached(
+                  scene, params, "config2_fireball_cached")
+
+    # ---- config 3: colored smoke + HDRI env + DOF ----------------------
+    if want("config3_smoke_hdri"):
+      with guard("config3_smoke_hdri"):
+          from vpt_tpu.scene.scene import attach_env_map
+          eh, ew = 128, 256
+          ty = np.linspace(1.0, 0.0, eh, dtype=np.float32)[:, None, None]
+          env = (np.array([0.35, 0.55, 1.0], np.float32) * ty
+                 + np.array([0.9, 0.6, 0.3], np.float32) * (1 - ty))
+          env = np.broadcast_to(env, (eh, ew, 3)).copy()
+          env[eh // 4, ew // 3] = [60.0, 55.0, 45.0]  # bright "sun" texel
+          scene = build_scene([blob(color=True)])
+          scene = attach_env_map(scene, env)
+          c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+          cam = Camera.make(c + np.array([0.0, 1.0, 9.0]), c, vfov=40.0,
+                            aspect=1.0, aperture=0.25)
+          scene = dataclasses.replace(scene, camera=cam)
+          params = RenderParams(environment_type=int(Environment.HDRI),
+                                **base_kw)
+          results["config3_smoke_hdri"] = entry(
+              *measure(scene, params, "config3_smoke_hdri"))
+          if use_cached and EXTRA:
+              results["config3_smoke_hdri_cached"] = measure_cached(
+                  scene, params, "config3_smoke_hdri_cached")
 
     if want("config5_4k") and ENGINE == "fused":
       with guard("config5_4k"):
@@ -444,53 +543,7 @@ def main():
               grid_n=n, corner_gib=round(corner_bytes / 2**30, 2),
               corner_dtype="bfloat16")
 
-    # ---- north star: 1080p dragon, wall-clock to 1024 spp --------------
-    north = {}
-    if want("north_star") and dragon_scene is not None:
-      with guard("north_star"):
-          scene = aim_camera(dragon_scene, 1920, 1080)
-          params = RenderParams(environment_type=int(Environment.BLACK),
-                                **{**base_kw, "width": 1920, "height": 1080})
-          if use_cached:
-              from vpt_tpu.accel.shadow import attach_shadow_cache
-              scene = attach_shadow_cache(scene, azimuth=150.0,
-                                          elevation=30.0)
-              params = params.replace(shadow_mode="cached")
-          ms, mr, tr, iters = measure(scene, params, "north_star_1080p")
-          if FULL_1080 and time.time() - T0 <= DEADLINE_S:
-              film = Film.zeros(1080, 1920)
-              t0 = time.time()
-              for it in range(1024):
-                  film = render_step(scene, params, film, jnp.uint32(it))
-              float(film.accum.sum())
-              wall = time.time() - t0
-              _log(f"# [north_star_1080p] measured 1024-spp wall-clock: "
-                   f"{wall:.1f}s")
-              north = entry(ms, mr, tr, iters,
-                            wallclock_1024spp_s=round(wall, 1),
-                            measured=True)
-          else:
-              north = entry(ms, mr, tr, iters,
-                            wallclock_1024spp_s=round(ms * 1024 / 1000, 1),
-                            measured=False)
-          north["shadow_mode"] = "cached" if use_cached else "tracked"
-
-    best = results.get("config1_dragon_cached",
-                       results.get("config1_dragon", {}))
-    primary = best.get("mrays_per_s", 0.0)
-    print(json.dumps({
-        "metric": "primary Mrays/s/chip (dragon.vdb 512x512, config-1, "
-                  "best validated mode)",
-        "value": primary,
-        "unit": "Mrays/s",
-        "vs_baseline": round(primary / BASELINE_MRAYS, 4),
-        "primary_shadow_mode": best.get("shadow_mode", "tracked"),
-        "gather_rate_ns_per_lane_iter": (round(gather_rate_ns, 2)
-                                         if gather_rate_ns else None),
-        "scenarios": results,
-        "north_star_1080p": north,
-        "engine": ENGINE,
-    }))
+    emit()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,108 @@
+"""Interleaved A/B: octant empty-box columns x cost-stratified lane
+assignment, config 1 cached q16/256k (the primary bench mode).
+
+Round-3 anomaly: pre-strat probes measured 14.4 ms/spp; BENCH_r03 (with
+octants + strat) recorded 31.0.  Two suspects landed between:
+  - octant columns: 72 extra f32/voxel + a 24-long where-select chain
+    in the loop body;
+  - strat_schedule (commit cb0acad): argsort + 6 full-batch permutation
+    takes per render_step — the exact pattern round 2 measured at
+    ~19 ms/spp and rejected.
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_compile_cache")
+
+import jax.numpy as jnp
+
+from vpt_tpu.accel.shadow import attach_shadow_cache
+from vpt_tpu.core.camera import Camera
+from vpt_tpu.lights.lights import PointLights
+from vpt_tpu.render.film import Film
+from vpt_tpu.render.params import Environment, RenderParams
+from vpt_tpu.render.renderer import render_step
+from vpt_tpu.scene.scene import load_vdb_scene
+
+W = H = 512
+lights = PointLights.make([[5.0, 8.0, 12.0]], [[1.0, 1.0, 1.0]], [300.0])
+
+
+def make_scene(octant):
+    t0 = time.time()
+    scene = load_vdb_scene("/root/reference/assets/dragon.vdb",
+                           lights=lights, octant_boxes=octant)
+    c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+    cam = Camera.make(c + np.array([0.0, 1.0, 10.0]), c, vfov=40.0,
+                      aspect=1.0)
+    scene = dataclasses.replace(scene, camera=cam)
+    scene = attach_shadow_cache(scene, azimuth=150.0, elevation=30.0)
+    print(f"scene octant={octant} built in {time.time()-t0:.1f}s",
+          flush=True)
+    return scene
+
+
+s_oct = make_scene(True)
+s_sym = make_scene(False)
+
+base = RenderParams(width=W, height=H,
+                    environment_type=int(Environment.BLACK),
+                    ray_depth=50, volume_depth=1, max_track_steps=256,
+                    engine="fused", max_fused_steps=128,
+                    shadow_mode="cached",
+                    rays_per_lane=16, fused_tile=262144)
+
+CONFIGS = {
+    "oct1/strat1": (s_oct, base),
+    "oct1/strat0": (s_oct, base.replace(strat_schedule=False)),
+    "oct0/strat1": (s_sym, base),
+    "oct0/strat0": (s_sym, base.replace(strat_schedule=False)),
+}
+
+films = {k: Film.zeros(H, W) for k in CONFIGS}
+its = {k: 0 for k in CONFIGS}
+
+for k, (s, p) in CONFIGS.items():
+    t0 = time.time()
+    films[k] = render_step(s, p, films[k], jnp.uint32(its[k]))
+    jax.block_until_ready(films[k].accum)
+    its[k] += 1
+    print(f"compiled {k} in {time.time()-t0:.1f}s", flush=True)
+
+# one extra step each so the film cost hint is warm (iteration-0 strat
+# is the identity permutation — time steps >= 1)
+for k, (s, p) in CONFIGS.items():
+    films[k] = render_step(s, p, films[k], jnp.uint32(its[k]))
+    its[k] += 1
+jax.block_until_ready(films["oct0/strat0"].accum)
+
+ITERS = 6
+ROUNDS = 4
+results = {k: [] for k in CONFIGS}
+for r in range(ROUNDS):
+    for k, (s, p) in CONFIGS.items():
+        t0 = time.time()
+        for _ in range(ITERS):
+            films[k] = render_step(s, p, films[k], jnp.uint32(its[k]))
+            its[k] += 1
+        float(films[k].accum.sum())
+        results[k].append((time.time() - t0) / ITERS * 1000)
+        print(f"round {r} {k}: {results[k][-1]:.1f} ms/spp", flush=True)
+
+ref = np.asarray(films["oct1/strat1"].accum).mean()
+for k, v in results.items():
+    mr = W * H / (min(v) / 1000) / 1e6
+    mean = np.asarray(films[k].accum).mean()
+    iters = float(np.asarray(films[k].cost).mean()) / its[k]
+    print(f"{k:14s} rounds={[f'{x:.1f}' for x in v]}  best {min(v):.1f} "
+          f"ms/spp -> {mr:.2f} Mrays/s  iters/ray={iters:.2f} "
+          f"mean={mean:.4f} (ref {ref:.4f})", flush=True)

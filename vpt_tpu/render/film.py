@@ -32,6 +32,7 @@ class Film:
     alpha: jax.Array  # (H, W) running-mean alpha (the reference's raw.w)
     depth: jax.Array  # (H, W) running-mean first-collision depth
     cost: jax.Array   # (H, W) TOTAL tracking steps (additive)
+    trunc: jax.Array  # (H, W) TOTAL step-budget truncation flags (additive)
 
     @staticmethod
     def zeros(height: int, width: int) -> "Film":
@@ -40,6 +41,7 @@ class Film:
             alpha=jnp.zeros((height, width), jnp.float32),
             depth=jnp.zeros((height, width), jnp.float32),
             cost=jnp.zeros((height, width), jnp.float32),
+            trunc=jnp.zeros((height, width), jnp.float32),
         )
 
 
@@ -55,7 +57,8 @@ def scrub_nan(value, fallback):
 
 def accumulate(film: Film, value, alpha, iteration,
                depth: Optional[jax.Array] = None,
-               cost: Optional[jax.Array] = None) -> Film:
+               cost: Optional[jax.Array] = None,
+               trunc: Optional[jax.Array] = None) -> Film:
     """One progressive step (render_kernel.cu:2278-2287)."""
     it = jnp.asarray(iteration, jnp.float32)
     inv = 1.0 / (it + 1.0)
@@ -69,8 +72,11 @@ def accumulate(film: Film, value, alpha, iteration,
     new_cost = film.cost
     if cost is not None:
         new_cost = film.cost + cost
+    new_trunc = film.trunc
+    if trunc is not None:
+        new_trunc = film.trunc + trunc
     return Film(accum=new_accum, alpha=new_alpha, depth=new_depth,
-                cost=new_cost)
+                cost=new_cost, trunc=new_trunc)
 
 
 def to_display(film: Film, exposure_scale=1.0):
@@ -106,12 +112,17 @@ def save_film(path: str, film: Film, iteration: int):
         path,
         accum=np.asarray(film.accum), alpha=np.asarray(film.alpha),
         depth=np.asarray(film.depth), cost=np.asarray(film.cost),
+        trunc=np.asarray(film.trunc),
         iteration=np.int64(iteration))
 
 
 def load_film(path: str):
-    """Returns (film, iteration)."""
+    """Returns (film, iteration).  Pre-trunc checkpoints load with a
+    zero truncation buffer."""
     z = np.load(path)
+    trunc = (jnp.asarray(z["trunc"]) if "trunc" in z.files
+             else jnp.zeros_like(jnp.asarray(z["cost"])))
     film = Film(accum=jnp.asarray(z["accum"]), alpha=jnp.asarray(z["alpha"]),
-                depth=jnp.asarray(z["depth"]), cost=jnp.asarray(z["cost"]))
+                depth=jnp.asarray(z["depth"]), cost=jnp.asarray(z["cost"]),
+                trunc=trunc)
     return film, int(z["iteration"])

@@ -79,15 +79,20 @@ class RenderParams:
     #                                1 disables).
     block_tiles: int = 64          # cost-ordered scheduling block edge in
     #                                pixels (~5x at 1080p); 0 disables
-    strat_schedule: bool = True    # cost-STRATIFIED lane assignment for
+    strat_schedule: bool = False   # cost-STRATIFIED lane assignment for
     #                                queue tiles (rays_per_lane > 1): rays
     #                                are rank-sorted by the film's cost
     #                                AOV and dealt round-robin into lanes
     #                                so every lane's queue-sum lands near
-    #                                the mean — the while-loop runs to
-    #                                the slowest LANE, and unstratified
-    #                                queue sums leave it ~3x the mean
-    #                                (renderer.trace_rays)
+    #                                the mean (renderer.trace_rays).
+    #                                DEFAULT OFF: the permutation costs
+    #                                an argsort + 6 full-batch takes per
+    #                                step — measured +20 ms/spp on
+    #                                config1 cached q16/256k (30.2 vs
+    #                                10.6, tools/probe_octant_strat.py),
+    #                                dwarfing the loop-trip win; same
+    #                                verdict as round 2's per-ray argsort
+    #                                (ARCHITECTURE "never worth it").
     march_tile: int = 65536
     march_samples: int = 160       # march-engine ray quadrature points
     shadow_samples: int = 96       # march-engine shadow quadrature points

@@ -250,7 +250,7 @@ def _render_step(scene, params, film, iteration):
     value, alpha, aux = render_rays(scene, params, key, iteration,
                                     cost_hint=film.cost)
     return accumulate(film, value, alpha, iteration, depth=aux["depth"],
-                      cost=aux["cost"])
+                      cost=aux["cost"], trunc=aux.get("trunc"))
 
 
 render_step = jax.jit(_render_step)

@@ -500,23 +500,8 @@ def _unified_fetch_single(scene, params, pos, direction,
         # symmetric box leaves behind (47% of walking iterations,
         # probe_phases).  Exit distances from BOTH boxes are valid;
         # take the max.
-        oct_ext = rows[..., 15:87].reshape(rows.shape[:-1] + (24, 3))
-        pos_dir = idir > 0.0
-        adir = jnp.abs(idir)
-        major = jnp.argmax(adir, axis=-1).astype(jnp.int32)
-        code = (pos_dir[..., 0].astype(jnp.int32)
-                + 2 * pos_dir[..., 1].astype(jnp.int32)
-                + 4 * pos_dir[..., 2].astype(jnp.int32)) * 3 + major
-        e3 = oct_ext[..., 0, :]
-        for o in range(1, 24):
-            e3 = jnp.where((code == o)[..., None], oct_ext[..., o, :], e3)
-        e3 = jnp.maximum(e3, 0.0)
-        # forward face per axis: i0f + 1 + e (dir > 0) or i0f - e;
-        # a ~zero direction component never reaches its face
-        face = jnp.where(pos_dir, i0f + 1.0 + e3, i0f - e3)
-        t_ax = jnp.where(jnp.abs(idir) < 1e-12, 3.4e38,
-                         (face - x_u) / safe_dir)
-        t_oct = jnp.min(t_ax, axis=-1)
+        from vpt_tpu.accel.majorant import octant_exit
+        t_oct = octant_exit(rows[..., 15:87], i0f, x_u, idir)
         t_exit = jnp.where(t_box <= 0.0,
                            jnp.maximum(t_exit, t_oct), t_exit)
     in_skip = inb & (t_box <= 0.0)

@@ -203,14 +203,15 @@ def build_scene(
 
     if octant_boxes == "auto":
         # per-(octant x major-axis) extents ride the single-instance
-        # fast path's row gather and cut the chained empty-box hops
-        # measured at ~47% of walking iterations
-        # (tools/probe_phases.py).  +72 f32 per voxel (288 B), so
-        # auto-off beyond 8M voxels (production sizes keep the lean
-        # rows) and for instanced scenes (those fetch from the
-        # majorant cell grid, not the corner rows).
-        total_vox = sum(int(np.prod(g.dim)) for g in host_grids)
-        octant_boxes = len(instance_grid_ids) == 1 and total_vox <= 8_000_000
+        # fast path's row gather and cut iters/ray 1.73 -> 1.52 on
+        # config 1 cached — but WALL-clock measured break-even to
+        # slightly negative (10.6 vs 10.4 ms/spp,
+        # tools/probe_octant_strat.py, even with the bit-tree select),
+        # while the build costs ~3.5 s native (+72 f32/voxel packed,
+        # transferred, and carried in HBM).  Auto is therefore OFF;
+        # the flag stays for scenes whose hop chains dominate
+        # (probe first — the win must beat the row-width cost).
+        octant_boxes = False
     atlas = build_atlas(host_grids, keep_raw_density=keep_raw_density,
                         corner_dtype=corner_dtype,
                         band_divisors=band_divisors,

@@ -42,6 +42,18 @@ def _load_native():
     lib = os.path.join(os.path.dirname(__file__), "..", "..", "native",
                        "build", "libvdb_codec.so")
     lib = os.path.abspath(lib)
+    if (not os.path.exists(lib)
+            and os.environ.get("VPT_NO_NATIVE_BUILD", "0") != "1"):
+        # auto-build on first use: native/build is gitignored, so fresh
+        # checkouts (the bench driver) would otherwise silently fall
+        # back to the numpy sweeps (~8x slower scene builds)
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(
+                os.path.dirname(lib))], capture_output=True, timeout=120,
+                check=False)
+        except (OSError, subprocess.TimeoutExpired):
+            pass
     if os.path.exists(lib):
         try:
             dll = ctypes.CDLL(lib)
