@@ -168,7 +168,7 @@ def test_dof_overlay_bands():
     cam = Camera.make([0, 0, 0], [0, 0, 10], aperture=0.4)  # aof = 5
     film = Film(accum=jnp.zeros((1, 3, 3)), alpha=jnp.zeros((1, 3)),
                 depth=jnp.asarray([[2.0, 10.0, 40.0]]),
-                cost=jnp.zeros((1, 3)))
+                cost=jnp.zeros((1, 3)), trunc=jnp.zeros((1, 3)))
     v = np.asarray(dof_overlay(film, cam))
     assert v[0, 0, 2] > v[0, 0, 0]  # near -> blue
     assert v[0, 1, 1] > v[0, 1, 0]  # in band -> green

@@ -96,19 +96,21 @@ def test_octant_boxes_anchored_empty():
 
 def test_octant_boxes_preserve_estimator(scene):
     """Octant skip jumps only cross provably-empty space: the mean
-    image with/without them agrees (scene fixture has them on via
-    auto; rebuild with octant_boxes=False for the control)."""
-    assert scene.atlas.octant_cols > 0  # auto turned them on
+    image with/without them agrees.  Atlas octant boxes default OFF
+    (wall break-even vs their build/HBM cost — tools/probe_octant_ab),
+    so the "on" scene requests them explicitly; the module fixture is
+    the control."""
+    assert scene.atlas.octant_cols == 0  # auto keeps them off
     p = RenderParams(width=24, height=24, ray_depth=6, max_track_steps=128,
                      environment_type=int(Environment.BLACK))
     lights = PointLights.make([[5.0, 8.0, 12.0]], [[1.0, 1.0, 1.0]],
                               [300.0])
-    s_off = load_vdb_scene("/root/reference/assets/dragon.vdb",
-                           lights=lights, octant_boxes=False)
-    s_off = dataclasses.replace(s_off, camera=scene.camera)
-    assert s_off.atlas.octant_cols == 0
-    f_on = ProgressiveRenderer(scene, p).render(24)
-    f_off = ProgressiveRenderer(s_off, p).render(24)
+    s_on = load_vdb_scene("/root/reference/assets/dragon.vdb",
+                          lights=lights, octant_boxes=True)
+    s_on = dataclasses.replace(s_on, camera=scene.camera)
+    assert s_on.atlas.octant_cols > 0
+    f_on = ProgressiveRenderer(s_on, p).render(24)
+    f_off = ProgressiveRenderer(scene, p).render(24)
     m_on = float(np.asarray(f_on.accum).mean())
     m_off = float(np.asarray(f_off.accum).mean())
     assert m_off > 0

@@ -90,7 +90,8 @@ def _build_cell_lists(inst_cells, n_instances: int, R: int,
 
 def build_majorant_grid(host_grids, instance_grid_ids, xforms,
                         root_pmin, root_pmax, resolution: int,
-                        build_instance_lists: bool = False):
+                        build_instance_lists: bool = False,
+                        octant_cells: bool | str = "auto"):
     """Returns a MajorantGrid pytree (scene.py dataclass).
 
     Splat each instance's nonzero voxels into world-space cells
@@ -196,7 +197,9 @@ def build_majorant_grid(host_grids, instance_grid_ids, xforms,
         t_box[sel] = t
     packed = np.concatenate([t_box.reshape(-1, 1),
                              ext.reshape(6, -1).T], axis=-1)
-    if R <= 128 and len(instance_grid_ids) > 1:
+    if octant_cells == "auto":
+        octant_cells = R <= 128 and len(instance_grid_ids) > 1
+    if octant_cells:
         # per-(octant x major-axis) anchored forward extents for the
         # empty cells (grid._octant_box_extents — the single-instance
         # corner rows carry the same cols 15:87): merges chained

@@ -170,6 +170,7 @@ def build_scene(
     corner_dtype: str = "float32",
     band_divisors: tuple | None = None,
     octant_boxes: bool | str = "auto",
+    octant_cells: bool | str = "auto",
 ) -> Scene:
     """Assemble a device Scene.
 
@@ -235,7 +236,8 @@ def build_scene(
         want_lists = len(instance_grid_ids) > instance_list_threshold
         majorant = build_majorant_grid(
             host_grids, instance_grid_ids, xforms, root_pmin, root_pmax,
-            majorant_resolution, build_instance_lists=want_lists)
+            majorant_resolution, build_instance_lists=want_lists,
+            octant_cells=octant_cells)
 
     if camera is None:
         # default framing similar to main.cpp:1320-1334 (look at volume)
