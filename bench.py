@@ -361,71 +361,6 @@ def main():
           STATE["north"]["shadow_mode"] = ("cached" if use_cached
                                            else "tracked")
 
-    # ---- config 5: instanced cloudscape (thousands of instances) -------
-    def cloud_xforms(n_inst, seed=7):
-        rng = np.random.RandomState(seed)
-        ids, xforms = [], []
-        for i in range(n_inst):
-            t = np.array([rng.uniform(0, 120), rng.uniform(0, 14),
-                          rng.uniform(0, 120)])
-            s = rng.uniform(0.7, 1.6)
-            xf = np.diag([0.1 * s, 0.1 * s, 0.1 * s, 1.0])
-            xf[3, :3] = t
-            ids.append(0)
-            xforms.append(xf)
-        return ids, xforms
-
-    def aim_cloud(scene):
-        c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
-        cam = Camera.make(c + np.array([0.0, 30.0, 90.0]), c, vfov=50.0,
-                          aspect=1.0)
-        return dataclasses.replace(scene, camera=cam)
-
-    if want("config5_cloudscape"):
-      with guard("config5_cloudscape"):
-          n_inst = int(os.environ.get("BENCH_INSTANCES", 1024))
-          cloud = blob(n=24)
-          ids, xforms = cloud_xforms(n_inst)
-          # R=64 measured best (finer grids shorten the chebyshev skip
-          # jumps — more loop iterations — without lowering K)
-          scene = build_scene([cloud], instance_grid_ids=ids,
-                              instance_xforms=xforms)
-          assert scene.majorant.cell_instances is not None
-          K = int(scene.majorant.cell_instances.shape[-1])
-          _log(f"# [config5] {n_inst} instances, per-cell K={K}")
-          scene = aim_cloud(scene)
-          params = RenderParams(environment_type=int(Environment.CONSTANT),
-                                **base_kw)
-          results["config5_cloudscape"] = entry(
-              *measure(scene, params, "config5_cloudscape"),
-              n_instances=n_inst, cell_list_k=K)
-          if use_cached:
-              # world-space tau grid (accel/shadow.py): sun NEE reads
-              # cached optical depths — no shadow walks
-              results["config5_cloudscape_cached"] = measure_cached(
-                  scene, params, "config5_cloudscape_cached")
-
-    if want("config5_union") and ENGINE == "fused":
-      with guard("config5_union"):
-          # union-grid mode (volume/union.py): the instanced scene
-          # resampled to ONE world grid -> the full single-instance
-          # fast path (1 corner-row gather/step).  Documented
-          # approximation; the exact path above stays the parity entry.
-          from vpt_tpu.volume.union import build_union_scene
-          n_inst = int(os.environ.get("BENCH_INSTANCES", 1024))
-          cloud = blob(n=24)
-          ids, xforms = cloud_xforms(n_inst)
-          uscene = aim_cloud(build_union_scene(
-              [cloud], ids, xforms, resolution=320))
-          params = RenderParams(environment_type=int(Environment.CONSTANT),
-                                **base_kw)
-          results["config5_union"] = entry(
-              *measure(uscene, params, "config5_union"),
-              n_instances=n_inst, mode="union320")
-          if use_cached and EXTRA:
-              results["config5_union_cached"] = measure_cached(
-                  uscene, params, "config5_union_cached")
-
     # ---- config 4: Bruneton planetary atmosphere -----------------------
     if want("config4_atmosphere"):
       with guard("config4_atmosphere"):
@@ -492,6 +427,71 @@ def main():
           if use_cached and EXTRA:
               results["config3_smoke_hdri_cached"] = measure_cached(
                   scene, params, "config3_smoke_hdri_cached")
+
+    # ---- config 5: instanced cloudscape (thousands of instances) -------
+    def cloud_xforms(n_inst, seed=7):
+        rng = np.random.RandomState(seed)
+        ids, xforms = [], []
+        for i in range(n_inst):
+            t = np.array([rng.uniform(0, 120), rng.uniform(0, 14),
+                          rng.uniform(0, 120)])
+            s = rng.uniform(0.7, 1.6)
+            xf = np.diag([0.1 * s, 0.1 * s, 0.1 * s, 1.0])
+            xf[3, :3] = t
+            ids.append(0)
+            xforms.append(xf)
+        return ids, xforms
+
+    def aim_cloud(scene):
+        c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+        cam = Camera.make(c + np.array([0.0, 30.0, 90.0]), c, vfov=50.0,
+                          aspect=1.0)
+        return dataclasses.replace(scene, camera=cam)
+
+    if want("config5_cloudscape"):
+      with guard("config5_cloudscape"):
+          n_inst = int(os.environ.get("BENCH_INSTANCES", 1024))
+          cloud = blob(n=24)
+          ids, xforms = cloud_xforms(n_inst)
+          # R=64 measured best (finer grids shorten the chebyshev skip
+          # jumps — more loop iterations — without lowering K)
+          scene = build_scene([cloud], instance_grid_ids=ids,
+                              instance_xforms=xforms)
+          assert scene.majorant.cell_instances is not None
+          K = int(scene.majorant.cell_instances.shape[-1])
+          _log(f"# [config5] {n_inst} instances, per-cell K={K}")
+          scene = aim_cloud(scene)
+          params = RenderParams(environment_type=int(Environment.CONSTANT),
+                                **base_kw)
+          results["config5_cloudscape"] = entry(
+              *measure(scene, params, "config5_cloudscape"),
+              n_instances=n_inst, cell_list_k=K)
+          if use_cached:
+              # world-space tau grid (accel/shadow.py): sun NEE reads
+              # cached optical depths — no shadow walks
+              results["config5_cloudscape_cached"] = measure_cached(
+                  scene, params, "config5_cloudscape_cached")
+
+    if want("config5_union") and ENGINE == "fused":
+      with guard("config5_union"):
+          # union-grid mode (volume/union.py): the instanced scene
+          # resampled to ONE world grid -> the full single-instance
+          # fast path (1 corner-row gather/step).  Documented
+          # approximation; the exact path above stays the parity entry.
+          from vpt_tpu.volume.union import build_union_scene
+          n_inst = int(os.environ.get("BENCH_INSTANCES", 1024))
+          cloud = blob(n=24)
+          ids, xforms = cloud_xforms(n_inst)
+          uscene = aim_cloud(build_union_scene(
+              [cloud], ids, xforms, resolution=320))
+          params = RenderParams(environment_type=int(Environment.CONSTANT),
+                                **base_kw)
+          results["config5_union"] = entry(
+              *measure(uscene, params, "config5_union"),
+              n_instances=n_inst, mode="union320")
+          if use_cached and EXTRA:
+              results["config5_union_cached"] = measure_cached(
+                  uscene, params, "config5_union_cached")
 
     if want("config5_4k") and ENGINE == "fused":
       with guard("config5_4k"):

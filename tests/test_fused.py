@@ -216,3 +216,44 @@ def test_strat_schedule_progressive_match(scene):
     b = np.asarray(f_on.accum)
     assert np.isfinite(b).all() and (b >= 0).all()
     assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())
+
+
+def test_tiled2d_deal_roundtrip():
+    """The 2D-tiled queue deal (renderer._tiled2d_fwd/_inv) is an
+    exact permutation + inverse for both (N, 3) and (N,) arrays."""
+    import jax.numpy as jnp
+    from vpt_tpu.render.renderer import (_tiled2d_fwd, _tiled2d_inv,
+                                         _tiled2d_rolls, _tiled2d_split)
+    H, W, Q = 24, 40, 8
+    sy, sx = _tiled2d_split(Q, H, W)
+    assert sy * sx == Q and H % sy == 0 and W % sx == 0
+    rolls = _tiled2d_rolls(Q, H // sy, W // sx)
+    x = jnp.arange(H * W * 3, dtype=jnp.float32).reshape(H * W, 3)
+    y = _tiled2d_fwd(x, H, W, sy, sx, rolls)
+    assert sorted(np.asarray(y[:, 0]).tolist()) == \
+        sorted(np.asarray(x[:, 0]).tolist())
+    np.testing.assert_array_equal(
+        np.asarray(_tiled2d_inv(y, H, W, sy, sx, rolls)), np.asarray(x))
+    a = jnp.arange(H * W, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_tiled2d_inv(_tiled2d_fwd(a, H, W, sy, sx, rolls),
+                                H, W, sy, sx, rolls)), np.asarray(a))
+
+
+def test_queue_tiled2d_and_seek_passes_match(scene):
+    """The 2D-tiled slot deal + multi-pass retire/seek (the round-4
+    trip-overhead levers) are the same estimator as the plain deal
+    with one pass."""
+    p_plain = RenderParams(engine="fused", rays_per_lane=4,
+                           queue_tiled2d=False, seek_passes=1, **BASE)
+    p_new = RenderParams(engine="fused", rays_per_lane=4,
+                         queue_tiled2d=True, seek_passes=4, **BASE)
+    f_a = ProgressiveRenderer(scene, p_plain).render(16)
+    f_b = ProgressiveRenderer(scene, p_new).render(16)
+    a = np.asarray(f_a.accum)
+    b = np.asarray(f_b.accum)
+    assert np.isfinite(b).all() and (b >= 0).all()
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.1, (a.mean(), b.mean())
+    aa = np.asarray(f_a.alpha)
+    ba = np.asarray(f_b.alpha)
+    assert abs(ba.mean() - aa.mean()) / max(aa.mean(), 1e-9) < 0.1

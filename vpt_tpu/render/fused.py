@@ -98,7 +98,8 @@ def _shadow_init(scene, params, start, w):
 
 
 def fused_direct(scene, params, key, origin, direction,
-                 return_state: bool = False, phase_counts: bool = False):
+                 return_state: bool = False, phase_counts: bool = False,
+                 return_trips: bool = False):
     """Trace one tile of rays.  Returns (L, alpha, cost, unfinished,
     depth) — cost = loop iterations spent walking per ray, unfinished =
     step-budget truncation flag (the bench's honesty audit).
@@ -381,11 +382,24 @@ def fused_direct(scene, params, key, origin, direction,
                o_a, o_c, o_d, o_done)
         return out + ((o_beta, o_dir, o_epos) if defer_env else ())
 
+    # retire+seek passes per trip (probe knob, AUTO=1): k passes let a
+    # lane chain through k terminal rays (env misses) in one trip, but
+    # the while loop runs to the slowest LANE, and measured max-lanes
+    # are walking-heavy, not miss-heavy — extra passes cut the MEAN
+    # lane sum, not the max, so they pay ~1 ms/spp of pure VPU for no
+    # trip reduction (tools/probe_seek.py: 9.5 -> 12.6 ms/spp at k=4).
+    seek_k = max(params.seek_passes, 1)
+
     def body(state):
         kstep = jax.random.fold_in(key, state[21])
         u = jax.random.uniform(kstep, (B, 5))
 
         if Q > 1:
+            for p in range(seek_k - 1):
+                state = retire_reload(state)
+                kp = jax.random.fold_in(kstep, 1 + p)
+                up = jax.random.uniform(kp, (B, 5))
+                state = seek_block(kp, up, state[:23]) + state[23:]
             state = retire_reload(state)
         qstate = state[23:] if Q > 1 else ()
 
@@ -751,6 +765,10 @@ def fused_direct(scene, params, key, origin, direction,
         cost = o_c.reshape(Q * B)
         depth_aov = o_d.reshape(Q * B)
         unfinished = 1.0 - o_done.reshape(Q * B).astype(jnp.float32)
+        if return_trips:
+            # total while-loop trips (state[21]) — the probe diagnostic
+            # for the wall = trips x B x per-trip-cost model
+            return L, alpha, cost, unfinished, depth_aov, state[21]
         return L, alpha, cost, unfinished, depth_aov
 
     (pos, dirn, anchor, sdir, env_pos, beta, L, alpha, tr, contrib, dist,
@@ -767,4 +785,7 @@ def fused_direct(scene, params, key, origin, direction,
     if return_state:
         return L, alpha, cost.astype(jnp.float32), unfinished, depth_aov, \
             state
+    if return_trips:
+        return L, alpha, cost.astype(jnp.float32), unfinished, depth_aov, \
+            _step
     return L, alpha, cost.astype(jnp.float32), unfinished, depth_aov

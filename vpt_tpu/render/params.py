@@ -79,6 +79,26 @@ class RenderParams:
     #                                1 disables).
     block_tiles: int = 64          # cost-ordered scheduling block edge in
     #                                pixels (~5x at 1080p); 0 disables
+    seek_passes: int = 0           # retire+seek passes per fused loop
+    #                                trip (queue path; 0 = AUTO = 1).
+    #                                Probe knob: extra passes chain a
+    #                                lane through several terminal rays
+    #                                per trip, but the while loop runs
+    #                                to the slowest lane and measured
+    #                                max-lanes are walking-heavy — k=4
+    #                                cost +33% wall for zero trip
+    #                                reduction (tools/probe_seek.py /
+    #                                probe_trips.py, config1 cached).
+    queue_tiled2d: bool = True     # 2D-TILED slot assignment for full-
+    #                                frame queue tiles: slot q = subtile
+    #                                (sy, sx) of an Sy x Sx grid, lane =
+    #                                in-subtile pixel, plus a per-slot
+    #                                2D roll — each lane's Q rays spread
+    #                                across the whole frame, so lane
+    #                                queue-sums concentrate at the mean.
+    #                                Pure reshape/transpose/roll (NO
+    #                                gathers — the round-3 stratified
+    #                                argsort cost more than it saved).
     strat_schedule: bool = False   # cost-STRATIFIED lane assignment for
     #                                queue tiles (rays_per_lane > 1): rays
     #                                are rank-sorted by the film's cost

@@ -112,6 +112,63 @@ def _resolve_auto_queue(params, B):
     return params.replace(rays_per_lane=1)
 
 
+def _tiled2d_split(Q, H, W):
+    """Factor Q into an (Sy, Sx) subtile grid of the (H, W) frame,
+    preferring near-square subtiles.  None when Q doesn't divide."""
+    best = None
+    for sy in range(1, Q + 1):
+        if Q % sy or H % sy:
+            continue
+        sx = Q // sy
+        if W % sx:
+            continue
+        score = abs((H // sy) - (W // sx))
+        if best is None or score < best[0]:
+            best = (score, sy, sx)
+    return best[1:] if best else None
+
+
+def _tiled2d_rolls(Q, hh, ww):
+    """Fixed per-slot 2D roll offsets (golden-ratio lattice) so a
+    lane's Q rays don't align across subtiles."""
+    return [(int((q * 0.61803399) % 1.0 * hh),
+             (int((q * 0.38196601) % 1.0 * ww)))
+            for q in range(Q)]
+
+
+def _tiled2d_fwd(arr, H, W, sy, sx, rolls):
+    """Pixel-order (H*W, ...) -> slot-major queue order: slot q =
+    subtile (iy, ix) of an (sy, sx) grid, lane = in-subtile pixel
+    (rolled per slot).  Pure reshape/roll/concat — no gathers (the
+    whole point: the stratified argsort permutation cost more than its
+    loop-trip win; see params.queue_tiled2d)."""
+    c = arr.shape[1:]
+    a = arr.reshape(sy, H // sy, sx, W // sx, *c)
+    parts = []
+    for iy in range(sy):
+        for ix in range(sx):
+            sub = a[iy, :, ix]
+            ry, rx = rolls[iy * sx + ix]
+            sub = jnp.roll(sub, (ry, rx), axis=(0, 1))
+            parts.append(sub.reshape(-1, *c))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _tiled2d_inv(arr, H, W, sy, sx, rolls):
+    """Inverse of _tiled2d_fwd for (H*W, ...) outputs."""
+    c = arr.shape[1:]
+    hh, ww = H // sy, W // sx
+    a = arr.reshape(sy * sx, hh, ww, *c)
+    rows = []
+    for iy in range(sy):
+        row = []
+        for ix in range(sx):
+            ry, rx = rolls[iy * sx + ix]
+            row.append(jnp.roll(a[iy * sx + ix], (-ry, -rx), axis=(0, 1)))
+        rows.append(jnp.concatenate(row, axis=1))
+    return jnp.concatenate(rows, axis=0).reshape((H * W,) + c)
+
+
 def trace_rays(scene, params, key, origin, direction, cost_hint=None):
     """Trace a flat ray batch with the configured engine.
 
@@ -173,6 +230,28 @@ def trace_rays(scene, params, key, origin, direction, cost_hint=None):
         ray_inv = jnp.zeros(bp, jnp.int32).at[perm].set(k)
         origin_p = jnp.take(origin_p, perm, axis=0)
         direction_p = jnp.take(direction_p, perm, axis=0)
+    # 2D-TILED slot assignment (full-frame single-tile queue path):
+    # with the plain reshape(Q, -1) deal, a lane's Q rays form a same-
+    # column vertical stripe; re-dealing so slot q = subtile (sy, sx)
+    # and lane = rolled in-subtile pixel spreads every lane's rays
+    # across the whole frame.  Reshape/roll only (no gathers).
+    # Measured (tools/probe_seek.py / probe_trips.py, config1 cached):
+    # a small win (9.5 -> 9.1 ms/spp) — the while-loop tail is mostly
+    # per-ray RNG variance (48 trips vs a 37-trip mean at Q=16), which
+    # stratification can't remove, so this is kept as a free ~4%.
+    t2d = None
+    if (params.engine == "fused" and params.integrator == int(
+            Integrator.DIRECT) and Q > 1 and params.queue_tiled2d
+            and not use_strat and bp == tile
+            and params.width * params.height == bp):
+        split = _tiled2d_split(Q, params.height, params.width)
+        if split is not None:
+            sy2, sx2 = split
+            rolls = _tiled2d_rolls(Q, params.height // sy2,
+                                   params.width // sx2)
+            t2d = (params.height, params.width, sy2, sx2, rolls)
+            origin_p = _tiled2d_fwd(origin_p, *t2d)
+            direction_p = _tiled2d_fwd(direction_p, *t2d)
     if use_blocks:
         nc = bp // _CHUNK
         if cost_hint is not None:
@@ -206,6 +285,10 @@ def trace_rays(scene, params, key, origin, direction, cost_hint=None):
     aux = {k: jnp.concatenate([o[2].get(k, jnp.zeros(tile)) for o in outs])
            for k in aux_keys}
 
+    if t2d is not None:
+        L = _tiled2d_inv(L, *t2d)
+        alpha = _tiled2d_inv(alpha, *t2d)
+        aux = {k2: _tiled2d_inv(v, *t2d) for k2, v in aux.items()}
     if ray_inv is not None:
         L = jnp.take(L, ray_inv, axis=0)
         alpha = jnp.take(alpha, ray_inv, axis=0)
