@@ -43,7 +43,12 @@ import numpy as np
 BASELINE_MRAYS = 30.0
 
 WARMUP = int(os.environ.get("BENCH_WARMUP", 2))
-ITERS = int(os.environ.get("BENCH_ITERS", 16))
+# timed in 4 groups of ITERS/4 with ONE device->host sync per group:
+# the sync is a full tunnel round-trip measured at ~19 ms
+# (tools/probe_dispatch.py: group-4 timing reads 12.1 ms/spp where
+# group-16 reads 7.4 on the same program — the dispatches themselves
+# pipeline).  48/4 = 12-spp groups keep the sync bias under ~1.6 ms.
+ITERS = int(os.environ.get("BENCH_ITERS", 48))
 ENGINE = os.environ.get("BENCH_ENGINE", "fused")
 FUSED_STEPS = int(os.environ.get("BENCH_FUSED_STEPS", 128))
 # the north-star 1024-spp wall-clock is MEASURED by default (VERDICT r2
@@ -302,11 +307,11 @@ def main():
             film = render_step(cal_scene, cal, film, jnp.uint32(w))
         float(film.accum.sum())
         t0 = time.time()
-        for w in range(4):
+        for w in range(12):  # one sync: its ~19 ms round-trip stays <3%
             film = render_step(cal_scene, cal, film, jnp.uint32(2 + w))
         float(film.accum.sum())
         lanes = 256 * 256 * 32  # tiles x iters x tile-size collapses
-        STATE["gather_rate_ns"] = (time.time() - t0) / 4 / lanes * 1e9
+        STATE["gather_rate_ns"] = (time.time() - t0) / 12 / lanes * 1e9
         _log(f"# gather-rate calibration: {STATE['gather_rate_ns']:.2f} "
              "ns/lane-iteration")
     if want("config1_dragon"):

@@ -19,6 +19,7 @@ The chunk permutation moves whole contiguous rows, so it costs two
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -337,6 +338,20 @@ def _render_step(scene, params, film, iteration):
 
 
 render_step = jax.jit(_render_step)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def render_chunk(scene, params, film, n, iteration0):
+    """``n`` progressive samples folded into ONE dispatch
+    (lax.fori_loop over _render_step).  Each remote-TPU dispatch is an
+    RPC through the axon tunnel; folding k spp per call amortizes that
+    latency for long accumulation runs (bench, north-star 1024 spp).
+    Estimator-identical to n render_step calls: the loop body derives
+    each sample's key from the absolute iteration index."""
+    def body(i, f):
+        return _render_step(scene, params, f,
+                            iteration0 + i.astype(jnp.uint32))
+    return jax.lax.fori_loop(0, n, body, film)
 
 
 class ProgressiveRenderer:
