@@ -471,9 +471,10 @@ def main():
           results["config5_cloudscape"] = entry(
               *measure(scene, params, "config5_cloudscape"),
               n_instances=n_inst, cell_list_k=K)
-          if use_cached:
+          if use_cached and EXTRA:
               # world-space tau grid (accel/shadow.py): sun NEE reads
-              # cached optical depths — no shadow walks
+              # cached optical depths — no shadow walks.  Low signal
+              # (within ~5% of tracked here) — EXTRA only.
               results["config5_cloudscape_cached"] = measure_cached(
                   scene, params, "config5_cloudscape_cached")
 
@@ -487,13 +488,15 @@ def main():
           n_inst = int(os.environ.get("BENCH_INSTANCES", 1024))
           cloud = blob(n=24)
           ids, xforms = cloud_xforms(n_inst)
+          # octant boxes ON for the union cloudscape (1.44x measured,
+          # tools/probe_union_oct.py) at ~6x the corner-table bytes
           uscene = aim_cloud(build_union_scene(
-              [cloud], ids, xforms, resolution=320))
+              [cloud], ids, xforms, resolution=320, octant_boxes=True))
           params = RenderParams(environment_type=int(Environment.CONSTANT),
                                 **base_kw)
           results["config5_union"] = entry(
               *measure(uscene, params, "config5_union"),
-              n_instances=n_inst, mode="union320")
+              n_instances=n_inst, mode="union320oct")
           if use_cached and EXTRA:
               results["config5_union_cached"] = measure_cached(
                   uscene, params, "config5_union_cached")
@@ -505,8 +508,10 @@ def main():
           from vpt_tpu.volume.union import build_union_scene
           cloud = blob(n=24)
           ids, xforms = cloud_xforms(4096, seed=11)
+          # scale proof, not a perf headline: skip the octant columns
+          # to keep the corner-table transfer ~6x smaller
           uscene = aim_cloud(build_union_scene(
-              [cloud], ids, xforms, resolution=320))
+              [cloud], ids, xforms, resolution=320, octant_boxes=False))
           params = RenderParams(environment_type=int(Environment.CONSTANT),
                                 **base_kw)
           results["config5_4k_union"] = entry(

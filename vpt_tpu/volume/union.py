@@ -111,10 +111,23 @@ def resample_union_grid(host_grids, instance_grid_ids, instance_xforms,
 
 def build_union_scene(host_grids, instance_grid_ids, instance_xforms,
                       resolution: int = 256,
-                      corner_dtype: str = "bfloat16", **build_kw):
+                      corner_dtype: str = "bfloat16",
+                      octant_boxes: bool | str = "auto", **build_kw):
     """resample_union_grid + build_scene: an instanced scene collapsed
-    to the single-instance fast path (approximate; see module doc)."""
+    to the single-instance fast path (approximate; see module doc).
+
+    ``octant_boxes=True`` is worth turning on for sparse cloudscapes
+    (unlike single-volume scenes where it is break-even): they are
+    jump-dominated and the per-(octant x major-axis) anchored boxes
+    measured 71.4 -> 49.7 ms/spp (1.44x, identical means) on the
+    1024-instance bench scene (tools/probe_union_oct.py).  Cost: the
+    bf16 corner row widens 15 -> 87 cols (~6x the table bytes — build
+    sweep + host->device transfer + HBM) and the build sweep itself is
+    minutes of host time at 320^3, so the default stays "auto" (=
+    build_scene's resolution-gated heuristic); opt in per scene.
+    """
     from vpt_tpu.scene.scene import build_scene
     union = resample_union_grid(host_grids, instance_grid_ids,
                                 instance_xforms, resolution=resolution)
-    return build_scene([union], corner_dtype=corner_dtype, **build_kw)
+    return build_scene([union], corner_dtype=corner_dtype,
+                       octant_boxes=octant_boxes, **build_kw)
