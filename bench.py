@@ -59,7 +59,10 @@ ONLY = os.environ.get("BENCH_ONLY", "")  # comma-sep scenario filter
 # BENCH_EXTRA=1 adds the low-signal variants (cached config2/3, cached
 # union) that each cost a ~25 s tunnel compile
 EXTRA = os.environ.get("BENCH_EXTRA", "0") == "1"
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 480))
+# the driver's kill arrives at ~900 s (observed SIGTERM at 896 s
+# elapsed); 720 leaves margin for the in-flight scenario + emit while
+# skipping far fewer scenarios than the old 480 did (5 skips at 564 s)
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 720))
 T0 = time.time()
 
 
@@ -82,12 +85,25 @@ def emit(tag=None):
         return
     STATE["emitted"] = True
     results = STATE["results"]
+    # BASELINE.json's metric is "Mrays/sec/chip ... at 1080p
+    # (dragon.vdb)", so the headline is the north-star 1080p rate when
+    # it was measured; the 512^2 config-1 rate (which carries ~2x more
+    # fixed per-dispatch overhead per ray) stays as the fallback for
+    # partial/deadline-killed runs and lives in scenarios either way.
+    north = STATE["north"]
     best = results.get("config1_dragon_cached",
                        results.get("config1_dragon", {}))
-    primary = best.get("mrays_per_s", 0.0)
+    if north.get("mrays_per_s"):
+        primary = north["mrays_per_s"]
+        metric = ("primary Mrays/s/chip (dragon.vdb 1920x1080 north "
+                  "star, best validated mode — BASELINE.json metric)")
+        best = north
+    else:
+        primary = best.get("mrays_per_s", 0.0)
+        metric = ("primary Mrays/s/chip (dragon.vdb 512x512, config-1, "
+                  "best validated mode)")
     out = {
-        "metric": "primary Mrays/s/chip (dragon.vdb 512x512, config-1, "
-                  "best validated mode)",
+        "metric": metric,
         "value": primary,
         "unit": "Mrays/s",
         "vs_baseline": round(primary / BASELINE_MRAYS, 4),
