@@ -70,6 +70,71 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# ---- host-side scene-build cache ------------------------------------------
+# This box has ONE cpu: the expensive host builds (union resample +
+# octant sweep at 320^3, the 1024-instance cell lists, the 512^3
+# procedural grid) cost MINUTES each — more than their TPU time — and
+# they are pure functions of the build sources.  Pickling the built
+# Scene pytree (leaves forced to numpy) makes the driver's deadline
+# run pay only TPU time.  The key hashes every scene-build source +
+# the native codec so a code change can never serve a stale scene.
+_CACHE_DIR = os.environ.get("BENCH_SCENE_CACHE",
+                            "/root/.vpt_bench_scene_cache")
+_CACHE_SRC = ("vpt_tpu/volume/grid.py", "vpt_tpu/volume/union.py",
+              "vpt_tpu/volume/vdb.py", "vpt_tpu/volume/procedural.py",
+              "vpt_tpu/scene/scene.py", "vpt_tpu/accel/majorant.py",
+              "vpt_tpu/accel/shadow.py", "native/vdb_codec.cpp")
+_CACHE_TAG = None
+
+
+def _cache_tag():
+    global _CACHE_TAG
+    if _CACHE_TAG is None:
+        import hashlib
+        h = hashlib.sha1()
+        root = os.path.dirname(os.path.abspath(__file__))
+        for rel in _CACHE_SRC:
+            p = os.path.join(root, rel)
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    h.update(f.read())
+        _CACHE_TAG = h.hexdigest()[:12]
+    return _CACHE_TAG
+
+
+def cached_scene(name, builder):
+    """Disk-cache an expensive host-side scene build (pre-camera)."""
+    import pickle
+
+    if _CACHE_DIR in ("", "0"):
+        return builder()
+    fn = os.path.join(_CACHE_DIR, f"{name}-{_cache_tag()}.pkl")
+    if os.path.exists(fn):
+        try:
+            t0 = time.time()
+            with open(fn, "rb") as f:
+                scene = pickle.load(f)
+            _log(f"# [{name}] scene build from cache "
+                 f"({time.time()-t0:.1f}s)")
+            return scene
+        except Exception as e:  # noqa: BLE001 — rebuild on any decode issue
+            _log(f"# [{name}] scene cache unreadable ({e!r}); rebuilding")
+    t0 = time.time()
+    scene = builder()
+    import jax
+    host = jax.tree.map(np.asarray, scene)
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        tmp = f"{fn}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(host, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, fn)
+        _log(f"# [{name}] scene built in {time.time()-t0:.1f}s, cached")
+    except Exception as e:  # noqa: BLE001 — cache failure must not kill bench
+        _log(f"# [{name}] scene cache write failed ({e!r})")
+    return host
+
+
 # ---- state shared with the signal handler --------------------------------
 STATE = {
     "results": {},
@@ -306,8 +371,10 @@ def main():
         # row-width cost on the day's gather rate
         _oct = os.environ.get("BENCH_OCTANT", "auto")
         _oct_kw = {} if _oct == "auto" else {"octant_boxes": _oct == "1"}
-        dragon_scene = load_vdb_scene("/root/reference/assets/dragon.vdb",
-                                      lights=lights, **_oct_kw)
+        dragon_scene = cached_scene(
+            f"dragon-oct{_oct}",
+            lambda: load_vdb_scene("/root/reference/assets/dragon.vdb",
+                                   lights=lights, **_oct_kw))
         # weather calibration: the remote TPU's serialized-gather rate
         # varies 4.5-16+ ns/lane-iteration across sessions with
         # IDENTICAL programs (ARCHITECTURE 'measurement health
@@ -476,8 +543,10 @@ def main():
           ids, xforms = cloud_xforms(n_inst)
           # R=64 measured best (finer grids shorten the chebyshev skip
           # jumps — more loop iterations — without lowering K)
-          scene = build_scene([cloud], instance_grid_ids=ids,
-                              instance_xforms=xforms)
+          scene = cached_scene(
+              f"c5exact-{n_inst}",
+              lambda: build_scene([cloud], instance_grid_ids=ids,
+                                  instance_xforms=xforms))
           assert scene.majorant.cell_instances is not None
           K = int(scene.majorant.cell_instances.shape[-1])
           _log(f"# [config5] {n_inst} instances, per-cell K={K}")
@@ -506,8 +575,11 @@ def main():
           ids, xforms = cloud_xforms(n_inst)
           # octant boxes ON for the union cloudscape (1.44x measured,
           # tools/probe_union_oct.py) at ~6x the corner-table bytes
-          uscene = aim_cloud(build_union_scene(
-              [cloud], ids, xforms, resolution=320, octant_boxes=True))
+          uscene = aim_cloud(cached_scene(
+              f"c5union320oct-{n_inst}",
+              lambda: build_union_scene([cloud], ids, xforms,
+                                        resolution=320,
+                                        octant_boxes=True)))
           params = RenderParams(environment_type=int(Environment.CONSTANT),
                                 **base_kw)
           results["config5_union"] = entry(
@@ -526,8 +598,11 @@ def main():
           ids, xforms = cloud_xforms(4096, seed=11)
           # scale proof, not a perf headline: skip the octant columns
           # to keep the corner-table transfer ~6x smaller
-          uscene = aim_cloud(build_union_scene(
-              [cloud], ids, xforms, resolution=320, octant_boxes=False))
+          uscene = aim_cloud(cached_scene(
+              "c5union320-4096",
+              lambda: build_union_scene([cloud], ids, xforms,
+                                        resolution=320,
+                                        octant_boxes=False)))
           params = RenderParams(environment_type=int(Environment.CONSTANT),
                                 **base_kw)
           results["config5_4k_union"] = entry(
@@ -547,17 +622,21 @@ def main():
                                                  create_procedural_grid)
           n = int(os.environ.get("BENCH_BIGVOL_N", 512))
           half = n / 2.0
-          grid = create_procedural_grid(
-              vmin=(-half,) * 3, vmax=(half,) * 3, res=1.0,
-              noise_type=NOISE_FBM_PERLIN, scale=0.012, seed=5,
-              chunk_z=64)
           lights = PointLights.make([[0.0, half * 2.2, half * 3.0]],
                                     [[1.0, 1.0, 1.0]],
                                     [float(half * half * 8.0)])
-          scene = aim_camera(
-              build_scene([grid], lights=lights, keep_raw_density=False,
-                          corner_dtype="bfloat16"),
-              W, H, dist_scale=half / 3.5)
+
+          def _build_bigvol():
+              grid = create_procedural_grid(
+                  vmin=(-half,) * 3, vmax=(half,) * 3, res=1.0,
+                  noise_type=NOISE_FBM_PERLIN, scale=0.012, seed=5,
+                  chunk_z=64)
+              return build_scene([grid], lights=lights,
+                                 keep_raw_density=False,
+                                 corner_dtype="bfloat16")
+
+          scene = aim_camera(cached_scene(f"bigvol-{n}", _build_bigvol),
+                             W, H, dist_scale=half / 3.5)
           dc = scene.atlas.density_corners
           corner_bytes = dc.size * dc.dtype.itemsize
           _log(f"# [bigvol_512] {n}^3 voxels, corner table "
