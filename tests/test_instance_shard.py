@@ -1,0 +1,205 @@
+"""Instance-set sharding (parallel/instance_shard.py) on the virtual
+8-device CPU mesh: exactness of the superposition free-path walk and
+the factorized transmittance against the single-device combined scene,
+plus end-to-end render agreement with the reference engine."""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from tests.golden_scenes import _blob
+from vpt_tpu.core.camera import Camera
+from vpt_tpu.lights.lights import PointLights
+from vpt_tpu.parallel.instance_shard import (build_instance_sharded_scene,
+                                             delta_track_sharded,
+                                             make_inst_mesh,
+                                             render_instance_sharded,
+                                             shard_scene,
+                                             transmittance_sharded)
+from vpt_tpu.render.params import Environment, RenderParams
+from vpt_tpu.render.tracking import delta_track, transmittance
+from vpt_tpu.scene.scene import build_scene
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")
+
+N_SHARDS = 4
+
+
+def _layout(n_inst=8, seed=7):
+    """n_inst jittered blob instances in a row (overlapping pairs)."""
+    rng = np.random.RandomState(seed)
+    ids, xforms = [], []
+    for i in range(n_inst):
+        xf = np.diag([0.2, 0.2, 0.2, 1.0])
+        xf[3, :3] = (np.array([i * 2.0, 0.0, 0.0])
+                     + rng.uniform(-0.6, 0.6, 3))
+        ids.append(0)
+        xforms.append(xf)
+    return [_blob(n=16)], ids, xforms
+
+
+def _combined_and_stacked(n_inst=8, **kw):
+    grids, ids, xforms = _layout(n_inst)
+    combined = build_scene(grids, instance_grid_ids=ids,
+                           instance_xforms=xforms, **kw)
+    stacked = build_instance_sharded_scene(grids, ids, xforms, N_SHARDS,
+                                           **kw)
+    return combined, stacked
+
+
+def _params(**kw):
+    base = dict(width=16, height=16, ray_depth=3, max_track_steps=48,
+                environment_type=int(Environment.BLACK))
+    base.update(kw)
+    return RenderParams(**base)
+
+
+def _probe_rays(combined, b=128):
+    """Rays crossing the whole instance row at varied heights."""
+    lo = np.asarray(combined.root_pmin)
+    hi = np.asarray(combined.root_pmax)
+    ys = np.linspace(lo[1] + 0.2, hi[1] - 0.2, b)
+    zs = np.linspace(lo[2] + 0.2, hi[2] - 0.2, b)
+    pos = np.stack([np.full(b, lo[0] + 1e-3), ys, zs], -1).astype(np.float32)
+    dirn = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (b, 1))
+    return jnp.asarray(pos), jnp.asarray(dirn)
+
+
+def _run_sharded(stacked, mesh, fn):
+    """Run fn(local_scene) under shard_map with replicated outputs."""
+    body = lambda ss: fn(jax.tree.map(lambda x: x[0], ss))
+    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(P("inst"),),
+                                 out_specs=P(), check_vma=False))(stacked)
+
+
+def test_builder_validation():
+    grids, ids, xforms = _layout(8)
+    with pytest.raises(ValueError, match="divisible"):
+        build_instance_sharded_scene(grids, ids, xforms, 3)
+    with pytest.raises(NotImplementedError, match="emission"):
+        build_instance_sharded_scene([_blob(n=16, emission=True)], ids,
+                                     xforms, 4)
+
+
+def test_transmittance_product_matches_single():
+    """E[prod_d Tr_d] = Tr through the summed medium: the sharded
+    product and the single-scene walk agree in expectation."""
+    combined, stacked = _combined_and_stacked()
+    mesh = make_inst_mesh(N_SHARDS)
+    stacked = shard_scene(stacked, mesh)
+    p = _params()
+    pos, dirn = _probe_rays(combined, b=96)
+    keys = [jax.random.PRNGKey(k) for k in range(24)]
+
+    single = np.mean([np.asarray(transmittance(combined, p, k, pos, dirn))
+                      for k in keys], axis=0)
+    sharded = np.mean([np.asarray(_run_sharded(
+        stacked, mesh,
+        functools.partial(lambda s, k: transmittance_sharded(s, p, k, pos,
+                                                             dirn), k=k)))
+        for k in keys], axis=0)
+
+    # same expectation: per-ray gap within MC noise at 24 keys, and the
+    # aggregate mean (errors can't cancel systematically) much tighter
+    assert np.isfinite(sharded).all()
+    assert np.abs(sharded - single).mean() < 0.06, (
+        float(np.abs(sharded - single).mean()))
+    assert abs(sharded.mean() - single.mean()) < 0.02, (
+        float(sharded.mean()), float(single.mean()))
+    # and the medium actually attenuates (non-trivial test)
+    assert single.min() < 0.7
+
+
+def test_superposition_walk_matches_single():
+    """The elected superposition walk reproduces the single-scene
+    delta-tracking law: P(interaction) and E[t | interaction] agree."""
+    combined, stacked = _combined_and_stacked()
+    mesh = make_inst_mesh(N_SHARDS)
+    stacked = shard_scene(stacked, mesh)
+    p = _params()
+    pos, dirn = _probe_rays(combined, b=96)
+    act = jnp.ones(96, bool)
+    keys = [jax.random.PRNGKey(1000 + k) for k in range(32)]
+
+    def single_stats(k):
+        new_pos, inter, _v, _h, _a, _s = delta_track(combined, p, k, pos,
+                                                     dirn, act)
+        t = jnp.linalg.norm(new_pos - pos, axis=-1)
+        return np.asarray(inter), np.asarray(jnp.where(inter, t, 0.0))
+
+    def sharded_stats(k):
+        def fn(s):
+            new_pos, inter, _v, _h, _a, _s = delta_track_sharded(
+                s, p, k, pos, dirn, act)
+            t = jnp.linalg.norm(new_pos - pos, axis=-1)
+            return inter, jnp.where(inter, t, 0.0)
+        inter, t = _run_sharded(stacked, mesh, fn)
+        return np.asarray(inter), np.asarray(t)
+
+    s_i, s_t = zip(*[single_stats(k) for k in keys])
+    h_i, h_t = zip(*[sharded_stats(k) for k in keys])
+    p_single = np.mean(s_i)
+    p_sharded = np.mean(h_i)
+    assert 0.05 < p_single < 0.95  # non-degenerate medium
+    assert abs(p_sharded - p_single) < 0.05, (p_sharded, p_single)
+    t_single = np.sum(s_t) / max(np.sum(s_i), 1)
+    t_sharded = np.sum(h_t) / max(np.sum(h_i), 1)
+    assert abs(t_sharded - t_single) / t_single < 0.10, (t_sharded, t_single)
+
+
+def _camera_for(scene):
+    c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
+    ext = float(np.max(np.asarray(scene.root_pmax)
+                       - np.asarray(scene.root_pmin)))
+    return Camera.make(c + np.array([0.0, 0.7 * ext, 1.4 * ext]), c,
+                       vfov=45.0, aspect=1.0)
+
+
+@pytest.mark.parametrize("with_cells", [False, True])
+def test_render_matches_reference_engine(with_cells):
+    """End-to-end: the instance-sharded render agrees in expectation
+    with the single-device reference engine on the combined scene
+    (the sharded estimator mirrors integrator.direct_integrator).
+    with_cells also exercises the per-shard cell-list K padding."""
+    lights = PointLights.make([[4.0, 6.0, 8.0]], [[1.0, 1.0, 1.0]], [200.0])
+    kw = dict(lights=lights,
+              instance_list_threshold=(1 if with_cells else 10 ** 6),
+              majorant_resolution=32)
+    combined, _ = _combined_and_stacked(**kw)
+    cam = _camera_for(combined)
+    combined = dataclasses.replace(combined, camera=cam)
+    grids, ids, xforms = _layout(8)
+    stacked = build_instance_sharded_scene(grids, ids, xforms, N_SHARDS,
+                                           camera=cam, **kw)
+
+    p = _params(engine="reference", ray_depth=3,
+                environment_type=int(Environment.CONSTANT))
+    mesh = make_inst_mesh(N_SHARDS)
+    film_sh = render_instance_sharded(shard_scene(stacked, mesh), p,
+                                      spp=8, mesh=mesh)
+    from vpt_tpu.render.renderer import ProgressiveRenderer
+    film_1 = ProgressiveRenderer(combined, p).render(8)
+    a = np.asarray(film_sh.accum)
+    b = np.asarray(film_1.accum)
+    assert np.isfinite(a).all()
+    assert a.mean() > 0
+    assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-9) < 0.25, (
+        a.mean(), b.mean())
+
+
+def test_cell_list_padding_shapes():
+    """Shards with different per-cell overlap K pad to a common table."""
+    grids, ids, xforms = _layout(8)
+    stacked = build_instance_sharded_scene(
+        grids, ids, xforms, N_SHARDS, instance_list_threshold=1,
+        majorant_resolution=32)
+    ci = stacked.majorant.cell_instances
+    assert ci.shape[0] == N_SHARDS
+    # padded slots are the -1 sentinel tracking._cell_rows masks out
+    assert int(jnp.min(ci)) == -1

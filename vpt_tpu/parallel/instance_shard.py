@@ -1,0 +1,417 @@
+"""Instance-set sharding: scenes whose instance set is PARTITIONED
+across devices (docs/SCALING.md "beyond-HBM" path).
+
+The reference renderer is strictly single-GPU (SURVEY.md §2.9) and its
+scene size is capped by one GPU's VRAM.  This module is the TPU-native
+answer for instanced scenes too large to replicate: each device of an
+``('inst',)`` mesh holds ONLY its instance subset — packed instance
+rows, per-subset majorant/skip grids, per-subset root box — and the
+devices jointly simulate transport through the SUM medium *exactly*:
+
+* **Free-path sampling by superposition.**  Delta tracking of a sum of
+  media (density = Σ_d density_d, the multi-instance sum of
+  render_kernel.cu:1003-1014) is simulated by running an independent
+  tracking walk per device against ITS OWN majorant field
+  (render_kernel.cu:1556-1681 semantics, as in tracking.delta_track),
+  electing the earliest tentative collision with a ``pmin`` over the
+  mesh, and broadcasting the winner's density/majorant ratio with a
+  one-hot ``psum`` to drive a SHARED accept/reject draw.  Each
+  device's tentative-collision stream is a Poisson process with rate
+  majorant_d(x); their union has rate Σ majorant_d(x), and thinning
+  the elected candidate by density_w/majorant_w reproduces collisions
+  at the exact summed density.  Discarding the losers' later
+  candidates and restarting everyone after every event is valid by
+  memorylessness (a Poisson process restarted at a stopping time is
+  again a Poisson process with the same rate), so the walk is
+  statistically EXACT — not a resampling approximation like
+  volume.union.
+* **Transmittance factorizes.**  Optical depth adds over subsets, so
+  Tr = Π_d Tr_d exactly.  Each device runs its own residual-ratio walk
+  (tracking.transmittance, render_kernel.cu:1138-1273) with an
+  independent key; independence makes the product estimator unbiased
+  (E[Π Tr_d] = Π E[Tr_d]).
+
+Per-event communication is O(lanes) scalars (one ``pmin`` + two
+``psum``) over ICI against a full tracking walk of local compute, so
+the scheme is compute-bound on real hardware.  Compute is replicated
+over the 'inst' axis (every device advances every ray): the axis buys
+MEMORY capacity — the per-device HBM footprint is 1/n of the instance
+data — not ray throughput; compose with the ('tile','spp') axes of
+parallel.shard for throughput.
+
+v1 scope (validated in tests/test_instance_shard.py on the 8-virtual-
+device CPU mesh): volume transport + sun/point-light NEE + environment
+terminal, mirroring render/integrator.py's reference estimator.  The
+debug sphere and emission walks are not wired (instanced production
+scenes use neither; build raises on emissive grids).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vpt_tpu.core.phase import phase_sample
+from vpt_tpu.core.vecmath import EPS, aabb_contains, aabb_intersect
+from vpt_tpu.core.rng import render_key
+from vpt_tpu.render.film import Film, accumulate
+from vpt_tpu.render.integrator import environment_radiance
+from vpt_tpu.render.nee import estimate_point_lights, estimate_sun
+from vpt_tpu.render.params import RenderParams
+from vpt_tpu.render.tracking import (density_color_lut, scene_color,
+                                     scene_density, transmittance,
+                                     unified_fetch, vec3_param)
+from vpt_tpu.scene.scene import Scene, build_scene
+
+AXIS = "inst"
+_INF = jnp.float32(jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# mesh + host-side scene partitioning
+# ---------------------------------------------------------------------------
+
+def make_inst_mesh(n_inst: int, devices=None) -> Mesh:
+    """1-D ('inst',) mesh over the first n_inst devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_inst > len(devices):
+        raise ValueError(f"mesh needs {n_inst} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n_inst]), (AXIS,))
+
+
+def _pad_cell_lists(scenes):
+    """Pad per-subset cell-instance tables to a common K so the
+    sub-scene pytrees stack.
+
+    MajorantGrid.cell_instances is (R^3, K) int32 with -1 empty slots
+    (tracking._cell_rows treats ids<0 as invalid) and cell_rows is
+    [t_box, ext 6, (octant 72,) ids K, ...] — the K slice is padded
+    with -1.0 in place.  Tau columns (attach_shadow_cache) must be
+    baked AFTER sharding, not before, so their presence here raises.
+    """
+    import dataclasses
+
+    ks = [s.majorant.cell_instances.shape[-1] for s in scenes]
+    kmax = max(ks)
+    out = []
+    for s in scenes:
+        m = s.majorant
+        k = m.cell_instances.shape[-1]
+        ids_off = m.packed.shape[-1]
+        if m.cell_rows is not None and m.cell_rows.shape[-1] != ids_off + k:
+            raise ValueError("cell rows carry extra (tau) columns; attach "
+                             "shadow caches after sharding, not before")
+        if k == kmax:
+            out.append(s)
+            continue
+        pad = kmax - k
+        ci = np.concatenate(
+            [np.asarray(m.cell_instances),
+             np.full((m.cell_instances.shape[0], pad), -1, np.int32)], -1)
+        cr = m.cell_rows
+        if cr is not None:
+            cr = np.concatenate(
+                [np.asarray(cr),
+                 np.full((cr.shape[0], pad), -1.0, np.float32)], -1)
+        out.append(dataclasses.replace(
+            s, majorant=dataclasses.replace(
+                m, cell_instances=jnp.asarray(ci),
+                cell_rows=None if cr is None else jnp.asarray(cr))))
+    return out
+
+
+def build_instance_sharded_scene(host_grids, instance_grid_ids,
+                                 instance_xforms, n_shards: int,
+                                 **build_kw):
+    """Build one sub-scene per shard (contiguous even partition of the
+    instance list) and stack the pytrees with a leading 'inst' axis.
+
+    Every leaf of the result is (n_shards, ...); place it with
+    ``shard_scene`` and render with ``render_instance_sharded``.  All
+    shard-invariant inputs (grids, camera, lights, LUTs, majorant
+    resolution) are shared, so the stacked camera/LUT leaves are
+    replicated copies — only the instance-derived leaves differ.
+    """
+    ids = np.asarray(instance_grid_ids)
+    xf = np.asarray(instance_xforms)
+    n = ids.shape[0]
+    if n % n_shards:
+        raise ValueError(f"{n} instances not divisible by {n_shards} shards")
+    per = n // n_shards
+    subs = []
+    for s in range(n_shards):
+        sl = slice(s * per, (s + 1) * per)
+        subs.append(build_scene(host_grids, list(ids[sl]), list(xf[sl]),
+                                **build_kw))
+    if subs[0].atlas.has_emission:
+        raise NotImplementedError("instance-sharded rendering does not "
+                                  "wire the emission walk (v1)")
+    if subs[0].majorant is not None and \
+            subs[0].majorant.cell_instances is not None:
+        subs = _pad_cell_lists(subs)
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *subs)
+
+
+def shard_scene(scene_stack, mesh: Mesh):
+    """Place the stacked scene with its leading axis sharded over
+    'inst' (explicit device_put so the first step doesn't re-shard)."""
+    from jax.sharding import NamedSharding
+    spec = NamedSharding(mesh, P(AXIS))
+    return jax.device_put(scene_stack, spec)
+
+
+# ---------------------------------------------------------------------------
+# sharded tracking primitives (run inside shard_map, scene = LOCAL subset)
+# ---------------------------------------------------------------------------
+
+def _next_candidate(scene, params, key, pos, direction, active):
+    """Walk the LOCAL medium from ``pos`` to its first tentative
+    collision (the non-skip, non-exit sample of tracking.delta_track's
+    body).  Returns (t_cand, ratio, density, steps): t_cand is +inf
+    when the ray misses/exits the local root box without a candidate;
+    ratio is the winner-side accept probability density/max_extinction
+    (the exact expression delta_track thins with)."""
+    B = pos.shape[0]
+    sigma_max = scene.max_extinction * params.density_mult
+    inv_rate = 1.0 / jnp.maximum(sigma_max, 1e-12)
+
+    hit, t_enter, t_exit = aabb_intersect(scene.root_pmin, scene.root_pmax,
+                                          pos, direction)
+    inside = aabb_contains(scene.root_pmin, scene.root_pmax, pos)
+    reach = active & (inside | hit)
+    t0 = jnp.where(inside, 0.0, t_enter + EPS)
+    t_end = jnp.where(reach, t_exit, 0.0)
+
+    p0 = pos + direction * t0[..., None]
+    _, skip0 = unified_fetch(scene, params, p0, direction)
+
+    def body(state):
+        t, skip, searching, cand, dens, steps, i = state
+        u = jax.random.uniform(jax.random.fold_in(key, i), (B,))
+        do_skip = searching & (skip > 0.0)
+        dt = jnp.where(do_skip, skip, -jnp.log1p(-u) * inv_rate)
+        t_new = jnp.where(searching, t + dt, t)
+        exited = searching & (t_new >= t_end)
+        p_new = pos + direction * t_new[..., None]
+        d_new, skip_new = unified_fetch(scene, params, p_new, direction)
+        sampled = searching & ~do_skip & ~exited
+        cand = cand | sampled
+        dens = jnp.where(sampled, d_new, dens)
+        searching = searching & ~exited & ~sampled
+        steps = steps + searching.astype(jnp.int32)
+        return (t_new, skip_new, searching, cand, dens, steps, i + 1)
+
+    def cond(state):
+        return jnp.any(state[2]) & (state[6] < params.max_track_steps)
+
+    state = (t0, skip0, reach, jnp.zeros(B, bool),
+             jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.int32),
+             jnp.int32(0))
+    t, _, _, cand, dens, steps, _ = jax.lax.while_loop(cond, body, state)
+
+    t_cand = jnp.where(cand, t, _INF)
+    ratio = dens / jnp.maximum(scene.max_extinction, 1e-12)
+    return t_cand, ratio, dens, steps
+
+
+def delta_track_sharded(scene, params, key, pos, direction, active,
+                        axis: str = AXIS):
+    """Free-path sampling through the UNION of all shards' media via
+    thinned-superposition election (module docstring).  Signature and
+    return contract mirror tracking.delta_track (minus the debug
+    sphere): (new_pos, interaction, value, hit_sphere, alpha_add,
+    steps), with ``steps`` the psum of per-device walk work."""
+    B = pos.shape[0]
+    idx = jax.lax.axis_index(axis)
+    n = jax.lax.psum(1, axis)
+
+    def body(state):
+        t, act, inter, alpha, steps, it = state
+        p = pos + direction * t[..., None]
+        kc = jax.random.fold_in(jax.random.fold_in(
+            jax.random.fold_in(key, it), 1), idx)
+        t_c, ratio, d_c, st = _next_candidate(scene, params, kc, p,
+                                              direction, act)
+        steps = steps + jax.lax.psum(st, axis)
+        t_min = jax.lax.pmin(jnp.where(act, t_c, _INF), axis)
+        have = act & jnp.isfinite(t_min)
+        is_min = have & (t_c == t_min)
+        w_idx = jax.lax.pmin(jnp.where(is_min, idx, n), axis)
+        win = is_min & (idx == w_idx)
+        r = jax.lax.psum(jnp.where(win, ratio, 0.0), axis)
+        d_w = jax.lax.psum(jnp.where(win, d_c, 0.0), axis)
+        u = jax.random.uniform(jax.random.fold_in(
+            jax.random.fold_in(key, it), 2), (B,))
+        accept = have & (r > u)
+        alpha = alpha + jnp.where(have, d_w, 0.0)
+        inter = inter | accept
+        t = jnp.where(have, t + t_min, t)
+        act = act & have & ~accept
+        return (t, act, inter, alpha, steps, it + 1)
+
+    def cond(state):
+        return jnp.any(state[1]) & (state[5] < params.max_track_steps)
+
+    state = (jnp.zeros(B, jnp.float32), active, jnp.zeros(B, bool),
+             jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.int32),
+             jnp.int32(0))
+    t, _, inter, alpha, steps, _ = jax.lax.while_loop(cond, body, state)
+
+    new_pos = pos + direction * t[..., None]
+    # collision value (delta_track's coll_val): density summed with a
+    # psum, Cd combined with a pmax (sum_color is a component-wise max
+    # over instances, render_kernel.cu:931-943 — the cross-shard max of
+    # per-shard maxes is the max over all instances)
+    d_tot = jax.lax.psum(scene_density(scene, new_pos), axis)
+    cd = jax.lax.pmax(scene_color(scene, new_pos), axis)
+    lut = density_color_lut(scene, params, d_tot)
+    coll_val = (vec3_param(params.albedo) * cd * lut
+                / vec3_param(params.extinction)) * params.energy_inject
+    value = jnp.where(inter[..., None], coll_val, jnp.ones_like(coll_val))
+    hit_sphere = jnp.zeros(B, bool)
+    return new_pos, inter, value, hit_sphere, alpha, steps
+
+
+def transmittance_sharded(scene, params, key, pos, direction,
+                          axis: str = AXIS):
+    """Tr through the union medium: exact product of per-shard
+    residual-ratio walks (optical depths add, so Tr = Π_d Tr_d; each
+    shard's walk uses an independent key)."""
+    idx = jax.lax.axis_index(axis)
+    tr = transmittance(scene, params, jax.random.fold_in(key, idx), pos,
+                       direction)
+    log_tr = jnp.log(jnp.maximum(tr, 1e-37))
+    return jnp.exp(jax.lax.psum(log_tr, axis))
+
+
+# ---------------------------------------------------------------------------
+# sharded estimator (mirror of integrator.direct_integrator, v1 scope)
+# ---------------------------------------------------------------------------
+
+def _trace_instance_sharded(scene, params, key, origin, direction,
+                            axis: str = AXIS):
+    """Lane-masked direct integrator over the sharded medium: the
+    control flow of integrator.direct_integrator with the tracking and
+    every shadow walk replaced by their sharded-exact forms, the debug
+    sphere and emission dropped (v1 scope).  The 'volume root box' is
+    the union of the shards' boxes (pmin/pmax collectives)."""
+    B = origin.shape[0]
+    gmin = jax.lax.pmin(scene.root_pmin, axis)
+    gmax = jax.lax.pmax(scene.root_pmax, axis)
+
+    def tr_fn(s, p, k, x, w):
+        return transmittance_sharded(s, p, k, x, w, axis)
+
+    def body(state):
+        pos, dirn, beta, L, alpha, depth_aov, cost, done, depth_i = state
+        kd = jax.random.fold_in(key, depth_i)
+
+        hit, t_min, _ = aabb_intersect(gmin, gmax, pos, dirn)
+        in_vol = hit & ~done
+        entry = jnp.where(in_vol[..., None],
+                          pos + dirn * (t_min + EPS)[..., None], pos)
+
+        pos_v = entry
+        mi = jnp.zeros(B, bool)
+        for vd in range(params.volume_depth):
+            kv = jax.random.fold_in(kd, 100 + vd)
+            new_pos, mi_v, val, _hs, alpha_add, steps = delta_track_sharded(
+                scene, params, kv, pos_v, dirn, in_vol, axis)
+            beta = jnp.where(in_vol[..., None], beta * val, beta)
+            alpha = alpha + jnp.where(in_vol, alpha_add, 0.0)
+            cost = cost + jnp.where(in_vol, steps, 0)
+            pos_v = jnp.where(in_vol[..., None], new_pos, pos_v)
+            mi = jnp.where(in_vol, mi_v, mi)
+            sdir, _ = phase_sample(params, dirn, jax.random.fold_in(kv, 1))
+            dirn = jnp.where((mi_v & in_vol)[..., None], sdir, dirn)
+            in_vol = in_vol & mi_v
+        pos = jnp.where(hit[..., None] & ~done[..., None], pos_v, pos)
+
+        first = (depth_i == 0)
+        d_mi = jnp.linalg.norm(origin - pos, axis=-1)
+        depth_aov = jnp.where(first & mi, d_mi, depth_aov)
+
+        sun = estimate_sun(scene, params, jax.random.fold_in(kd, 2), pos,
+                           dirn, tr_fn=tr_fn)
+        L = L + jnp.where(mi[..., None], sun * beta, 0.0)
+        if scene.lights.count > 0:
+            pl = estimate_point_lights(scene, params,
+                                       jax.random.fold_in(kd, 3), pos, dirn,
+                                       tr_fn=tr_fn)
+            L = L + jnp.where(mi[..., None], pl * beta, 0.0)
+
+        done = done | ~hit
+        return (pos, dirn, beta, L, alpha, depth_aov, cost, done,
+                depth_i + 1)
+
+    def cond(state):
+        return (state[8] < params.ray_depth) & jnp.any(~state[7])
+
+    state = (origin, direction, jnp.ones((B, 3), jnp.float32),
+             jnp.zeros((B, 3), jnp.float32), jnp.zeros(B, jnp.float32),
+             jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.int32),
+             jnp.zeros(B, bool), jnp.int32(0))
+    (pos, dirn, beta, L, alpha, depth_aov, cost, _done,
+     _d) = jax.lax.while_loop(cond, body, state)
+
+    # env_pos stays the camera origin (integrator.py only moves it on
+    # sphere events, which v1 does not wire)
+    L = L + environment_radiance(scene, params, origin, dirn) * beta
+    alpha = jnp.minimum(alpha, 1.0)
+    return L, alpha, cost.astype(jnp.float32), depth_aov
+
+
+# ---------------------------------------------------------------------------
+# progressive rendering over the mesh
+# ---------------------------------------------------------------------------
+
+def _sharded_sample(params: RenderParams, key, scene_slice, u, v):
+    scene = jax.tree.map(lambda x: x[0], scene_slice)
+    kl, ki = jax.random.split(key)
+    origin, direction = scene.camera.get_rays(u, v, kl)
+    return _trace_instance_sharded(scene, params, ki, origin, direction)
+
+
+def render_step_instance_sharded(scene_stack, params: RenderParams,
+                                 film: Film, iteration, mesh: Mesh):
+    """One progressive step (ONE spp — the 'inst' axis buys memory, not
+    samples).  Rays and film are replicated; every device advances all
+    rays through its instance subset."""
+    H, W = params.height, params.width
+    key = render_key(params.seed, iteration)
+    kj = jax.random.fold_in(key, 17)
+    jit_uv = jax.random.uniform(kj, (H, W, 2), jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    u = ((xs + jit_uv[..., 0]) / W).reshape(-1)
+    v = ((ys + jit_uv[..., 1]) / H).reshape(-1)
+
+    fn = jax.shard_map(
+        functools.partial(_sharded_sample, params, key),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    L, alpha, cost, depth = fn(scene_stack, u, v)
+    return accumulate(film, L.reshape(H, W, 3), alpha.reshape(H, W),
+                      iteration, depth=depth.reshape(H, W),
+                      cost=cost.reshape(H, W))
+
+
+def render_instance_sharded(scene_stack, params: RenderParams, spp: int,
+                            mesh: Mesh) -> Film:
+    """Render ``spp`` samples per pixel with the instance set sharded
+    over ``mesh`` ('inst' axis)."""
+    film = Film.zeros(params.height, params.width)
+    step = jax.jit(render_step_instance_sharded,
+                   static_argnames=("mesh",))
+    for it in range(spp):
+        film = step(scene_stack, params, film, jnp.uint32(it), mesh=mesh)
+    jax.block_until_ready(film.accum)
+    return film

@@ -47,20 +47,23 @@ def environment_light_radiance(scene, params, pos, wi):
                       vec3_param(params.sky_color))
 
 
-def estimate_sun(scene, params, key, pos, direction):
+def estimate_sun(scene, params, key, pos, direction, tr_fn=transmittance):
     """Sun NEE (render_kernel.cu:1478-1516): Tr * phase(cos) *
     sun_color * sun_mult (the Bruneton irradiance fetch there is dead —
-    its result is commented out at :1509-1511)."""
+    its result is commented out at :1509-1511).  ``tr_fn`` swaps the
+    shadow-walk estimator (parallel.instance_shard injects the sharded
+    product walk)."""
     wi = degree_to_cartesian(params.azimuth, params.elevation)
     cos_theta = jnp.sum(direction * wi, axis=-1)
     phase_pdf = phase_eval(params, cos_theta)
     wib = jnp.broadcast_to(wi, pos.shape)
-    tr = transmittance(scene, params, jax.random.fold_in(key, 0), pos, wib)
+    tr = tr_fn(scene, params, jax.random.fold_in(key, 0), pos, wib)
     ld = (tr * phase_pdf)[..., None]
     return ld * vec3_param(params.sun_color) * params.sun_mult
 
 
-def estimate_point_lights(scene, params, key, pos, direction):
+def estimate_point_lights(scene, params, key, pos, direction,
+                          tr_fn=transmittance):
     """Point-light NEE with the reference's budget quirk (QUIRKS #3):
     min(L, 11) uniform random picks summed WITHOUT normalization; the
     reference's wasted non-contributing Tr walks are skipped (they
@@ -78,7 +81,7 @@ def estimate_point_lights(scene, params, key, pos, direction):
         lcol = jnp.take(scene.lights.color, idx, axis=0)
         lpow = jnp.take(scene.lights.power, idx, axis=0)
         wi = normalize(lpos - pos)
-        tr = transmittance(scene, params, jax.random.fold_in(kw, 1), pos, wi)
+        tr = tr_fn(scene, params, jax.random.fold_in(kw, 1), pos, wi)
         cos_theta = jnp.sum(direction * wi, axis=-1)
         phase_pdf = phase_eval(params, cos_theta)
         if params.reference_falloff:  # QUIRKS #2
