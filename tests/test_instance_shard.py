@@ -203,3 +203,39 @@ def test_cell_list_padding_shapes():
     assert ci.shape[0] == N_SHARDS
     # padded slots are the -1 sentinel tracking._cell_rows masks out
     assert int(jnp.min(ci)) == -1
+
+
+def test_composed_inst_tile_mesh():
+    """The 2-D ('inst', 'tile') mesh (make_inst_tile_mesh): rays shard
+    over 'tile' while each column holds one instance subset.  Same
+    estimator as the 1-D ('inst',) mesh — agreement in expectation —
+    and the ray count must divide the tile axis."""
+    from vpt_tpu.parallel.instance_shard import make_inst_tile_mesh
+
+    lights = PointLights.make([[4.0, 6.0, 8.0]], [[1.0, 1.0, 1.0]], [200.0])
+    kw = dict(lights=lights, majorant_resolution=32)
+    combined, _ = _combined_and_stacked(**kw)
+    cam = _camera_for(combined)
+    grids, ids, xforms = _layout(8)
+    stacked = build_instance_sharded_scene(grids, ids, xforms, 2,
+                                           camera=cam, **kw)
+    p = _params(environment_type=int(Environment.CONSTANT))
+
+    mesh2 = make_inst_tile_mesh(2, 4)
+    assert dict(mesh2.shape) == {"inst": 2, "tile": 4}
+    film_c = render_instance_sharded(shard_scene(stacked, mesh2), p,
+                                     spp=8, mesh=mesh2)
+    mesh1 = make_inst_mesh(2)
+    film_1 = render_instance_sharded(shard_scene(stacked, mesh1), p,
+                                     spp=8, mesh=mesh1)
+    a = np.asarray(film_c.accum)
+    b = np.asarray(film_1.accum)
+    assert np.isfinite(a).all() and a.mean() > 0
+    assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-9) < 0.25, (
+        a.mean(), b.mean())
+
+    # 16x16 = 256 rays do not divide a 3-wide tile axis
+    mesh_bad = make_inst_tile_mesh(2, 3)
+    with pytest.raises(ValueError, match="divisible"):
+        render_instance_sharded(shard_scene(stacked, mesh_bad), p,
+                                spp=1, mesh=mesh_bad)

@@ -139,3 +139,23 @@ def test_viewer_static_selects():
     assert vs.renderer.params.shadow_mode == "cached"
     from vpt_tpu.accel.shadow import n_cached_lights
     assert n_cached_lights(vs.renderer.scene.atlas) >= 0
+
+
+def test_viewer_denoise_display(viewer_url):
+    """The denoise select filters the PREVIEW only (the reference's
+    one-click OIDN button, main.cpp:1508-1520, 1571-1595): the frame
+    stays a valid PNG in every mode and accumulation does NOT restart."""
+    import vpt_tpu.app.viewer as vm
+    st = vm._LAST_STATE
+    page = _get(viewer_url + "/").decode()
+    assert ">denoise<" in page or "denoise " in page
+    for _ in range(100):
+        if json.loads(_get(viewer_url + "/status"))["spp"] >= 2:
+            break
+        time.sleep(0.3)
+    spp_before = json.loads(_get(viewer_url + "/status"))["spp"]
+    for mode in ("atrous", "nn", "none"):
+        _get(viewer_url + f"/set?name=denoise&value={mode}")
+        assert st.denoise == mode
+        assert _get(viewer_url + "/frame.png")[:4] == b"\x89PNG"
+    assert json.loads(_get(viewer_url + "/status"))["spp"] >= spp_before

@@ -40,6 +40,10 @@ _DYNAMIC_SLIDERS = [
 _STATIC_SELECTS = [
     ("engine", "engine", ["fused", "reference", "march"]),
     ("shadow_mode", "shadow mode", ["tracked", "cached"]),
+    # display-only: filters the preview like the reference's one-click
+    # OIDN button (main.cpp:1571-1595) — accumulation continues
+    # untouched, so switching back to "none" loses nothing
+    ("denoise", "denoise", ["none", "atrous", "nn"]),
 ]
 
 _PAGE = """<!doctype html><html><head><title>vpt viewer</title><style>
@@ -106,7 +110,8 @@ def _slider_html(params):
             f'value="{val}" '
             f"oninput=\"setp('{name}', this.value)\"></label>")
     for name, label, choices in _STATIC_SELECTS:
-        cur = getattr(params, name)
+        cur = getattr(params, name, choices[0])  # "denoise" is viewer
+        # state, not a RenderParams field — default option
         opts = "".join(
             f'<option value="{c}"{" selected" if c == cur else ""}>{c}'
             f"</option>" for c in choices)
@@ -136,6 +141,7 @@ class ViewerState:
         # spherical orbit state around the scene pivot
         self.vfov = vfov
         self.aperture = aperture
+        self.denoise = "none"  # display-only (see _STATIC_SELECTS)
         cam = scene.camera
         eye = np.asarray(cam.origin, np.float64)
         self.pivot = eye - np.asarray(cam.w, np.float64) \
@@ -195,6 +201,14 @@ class ViewerState:
             time.sleep(0.001)
 
     def set_param(self, name, value):
+        if name == "denoise":
+            if value not in ("none", "atrous", "nn"):
+                raise KeyError(f"denoise={value}")
+            # no lock/reset: the filter runs at display time on the
+            # accum buffer (the reference's button also leaves the
+            # progressive state alone, main.cpp:1508-1520)
+            self.denoise = value
+            return
         if name in {s[0] for s in _STATIC_SELECTS}:
             choices = next(s[2] for s in _STATIC_SELECTS if s[0] == name)
             if value not in choices:
@@ -254,7 +268,20 @@ class ViewerState:
         import numpy as np
         from PIL import Image
         with self.lock:
-            img = self.renderer.display_image()[::-1]
+            if self.denoise == "none":
+                img = self.renderer.display_image()[::-1]
+            else:
+                from vpt_tpu.render.film import to_display
+                film = self.renderer.film
+                if self.denoise == "nn":
+                    from vpt_tpu.render.denoise_nn import denoise_film
+                    den = denoise_film(film)
+                else:
+                    from vpt_tpu.render.denoise import denoise_image
+                    den = denoise_image(film.accum, film.alpha)
+                film = dataclasses.replace(film, accum=den)
+                img = np.asarray(to_display(
+                    film, self.renderer.params.exposure_scale))[::-1]
         buf = io.BytesIO()
         Image.fromarray(np.asarray(img)).save(buf, "PNG")
         return buf.getvalue()

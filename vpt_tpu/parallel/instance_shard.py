@@ -36,8 +36,11 @@ Per-event communication is O(lanes) scalars (one ``pmin`` + two
 the scheme is compute-bound on real hardware.  Compute is replicated
 over the 'inst' axis (every device advances every ray): the axis buys
 MEMORY capacity — the per-device HBM footprint is 1/n of the instance
-data — not ray throughput; compose with the ('tile','spp') axes of
-parallel.shard for throughput.
+data — not ray throughput.  For throughput, compose it with a ray
+axis: ``make_inst_tile_mesh`` builds the 2-D ('inst', 'tile') mesh
+where rays are sharded over 'tile' and the tracking collectives
+reduce per tile column (render_step_instance_sharded handles both
+mesh shapes).
 
 v1 scope (validated in tests/test_instance_shard.py on the 8-virtual-
 device CPU mesh): volume transport + sun/point-light NEE + environment
@@ -81,6 +84,20 @@ def make_inst_mesh(n_inst: int, devices=None) -> Mesh:
     if n_inst > len(devices):
         raise ValueError(f"mesh needs {n_inst} devices, have {len(devices)}")
     return Mesh(np.array(devices[:n_inst]), (AXIS,))
+
+
+def make_inst_tile_mesh(n_inst: int, n_tile: int, devices=None) -> Mesh:
+    """2-D ('inst', 'tile') mesh: the memory axis composed with a ray-
+    throughput axis.  Each of the n_inst rows holds one instance
+    subset, replicated across its n_tile columns; rays are sharded
+    over 'tile', so one step costs each device only 1/n_tile of the
+    tracking walks while HBM still holds only 1/n_inst of the scene."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_inst * n_tile
+    if need > len(devices):
+        raise ValueError(f"mesh needs {need} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:need]).reshape(n_inst, n_tile),
+                (AXIS, "tile"))
 
 
 def _pad_cell_lists(scenes):
@@ -370,8 +387,14 @@ def _trace_instance_sharded(scene, params, key, origin, direction,
 # progressive rendering over the mesh
 # ---------------------------------------------------------------------------
 
-def _sharded_sample(params: RenderParams, key, scene_slice, u, v):
+def _sharded_sample(params: RenderParams, key, has_tile, scene_slice, u, v):
     scene = jax.tree.map(lambda x: x[0], scene_slice)
+    if has_tile:
+        # one independent stream per ray block — folded INSIDE the
+        # shard_map so every device of an 'inst' column sees the SAME
+        # key (the election/thinning draws must be shared across the
+        # instance axis)
+        key = jax.random.fold_in(key, jax.lax.axis_index("tile"))
     kl, ki = jax.random.split(key)
     origin, direction = scene.camera.get_rays(u, v, kl)
     return _trace_instance_sharded(scene, params, ki, origin, direction)
@@ -380,9 +403,18 @@ def _sharded_sample(params: RenderParams, key, scene_slice, u, v):
 def render_step_instance_sharded(scene_stack, params: RenderParams,
                                  film: Film, iteration, mesh: Mesh):
     """One progressive step (ONE spp — the 'inst' axis buys memory, not
-    samples).  Rays and film are replicated; every device advances all
-    rays through its instance subset."""
+    samples).  On a 1-D ('inst',) mesh rays and film are replicated:
+    every device advances ALL rays through its instance subset.  On a
+    2-D ('inst', 'tile') mesh (make_inst_tile_mesh) the ray batch is
+    additionally sharded over 'tile' — each device walks only its ray
+    block, so the composed mesh buys throughput AND memory (the
+    tracking collectives name only the 'inst' axis, so they reduce
+    per tile column)."""
     H, W = params.height, params.width
+    has_tile = "tile" in mesh.shape and mesh.shape["tile"] > 1
+    if has_tile and (H * W) % mesh.shape["tile"]:
+        raise ValueError(f"pixel count {H*W} not divisible by tile axis "
+                         f"{mesh.shape['tile']}")
     key = render_key(params.seed, iteration)
     kj = jax.random.fold_in(key, 17)
     jit_uv = jax.random.uniform(kj, (H, W, 2), jnp.float32)
@@ -391,11 +423,12 @@ def render_step_instance_sharded(scene_stack, params: RenderParams,
     u = ((xs + jit_uv[..., 0]) / W).reshape(-1)
     v = ((ys + jit_uv[..., 1]) / H).reshape(-1)
 
+    ray_spec = P("tile") if has_tile else P()
     fn = jax.shard_map(
-        functools.partial(_sharded_sample, params, key),
+        functools.partial(_sharded_sample, params, key, has_tile),
         mesh=mesh,
-        in_specs=(P(AXIS), P(), P()),
-        out_specs=P(),
+        in_specs=(P(AXIS), ray_spec, ray_spec),
+        out_specs=ray_spec,
         check_vma=False,
     )
     L, alpha, cost, depth = fn(scene_stack, u, v)
