@@ -148,10 +148,16 @@ def build_instance_sharded_scene(host_grids, instance_grid_ids,
     instance list) and stack the pytrees with a leading 'inst' axis.
 
     Every leaf of the result is (n_shards, ...); place it with
-    ``shard_scene`` and render with ``render_instance_sharded``.  All
-    shard-invariant inputs (grids, camera, lights, LUTs, majorant
-    resolution) are shared, so the stacked camera/LUT leaves are
-    replicated copies — only the instance-derived leaves differ.
+    ``shard_scene`` and render with ``render_instance_sharded``.
+    Shard-invariant inputs (camera, lights, LUTs, majorant resolution)
+    are shared, so those stacked leaves are replicated copies; each
+    shard's atlas packs ONLY the unique grids its own instances
+    reference (ids remapped), so the dominant leaves — the voxel
+    corner tables — genuinely scale as 1/n when the instance subsets
+    partition the grid set.  Atlas leaves whose row counts differ
+    across shards are zero-padded to the max before stacking; padded
+    rows are unreachable because every table index originates from
+    the same shard's offsets/ids.
     """
     ids = np.asarray(instance_grid_ids)
     xf = np.asarray(instance_xforms)
@@ -162,16 +168,51 @@ def build_instance_sharded_scene(host_grids, instance_grid_ids,
     subs = []
     for s in range(n_shards):
         sl = slice(s * per, (s + 1) * per)
-        subs.append(build_scene(host_grids, list(ids[sl]), list(xf[sl]),
-                                **build_kw))
-    if subs[0].atlas.has_emission:
+        sub_ids = [int(i) for i in ids[sl]]
+        uniq = sorted(set(sub_ids))
+        remap = {g: k for k, g in enumerate(uniq)}
+        subs.append(build_scene([host_grids[g] for g in uniq],
+                                [remap[g] for g in sub_ids],
+                                list(xf[sl]), **build_kw))
+    if any(s.atlas.has_emission for s in subs):
         raise NotImplementedError("instance-sharded rendering does not "
                                   "wire the emission walk (v1)")
     if subs[0].majorant is not None and \
             subs[0].majorant.cell_instances is not None:
         subs = _pad_cell_lists(subs)
-    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-                        *subs)
+    return jax.tree.map(_stack_padded, *subs)
+
+
+def _stack_padded(*xs):
+    """Stack one leaf across shards, zero-padding trailing rows where
+    per-shard shapes differ (pruned atlases of unequal grid subsets)."""
+    xs = [np.asarray(x) for x in xs]
+    if len({x.shape for x in xs}) > 1:
+        if len({x.ndim for x in xs}) > 1:
+            raise ValueError(f"leaf rank mismatch across shards: "
+                             f"{[x.shape for x in xs]}")
+        tgt = tuple(max(x.shape[d] for x in xs)
+                    for d in range(xs[0].ndim))
+        xs = [np.pad(x, [(0, t - s) for s, t in zip(x.shape, tgt)])
+              for x in xs]
+    return jnp.asarray(np.stack(xs))
+
+
+def build_grid_sharded_scene(host_grid, n_shards: int,
+                             axis: int | None = None, **build_kw):
+    """Beyond-HBM path for ONE monolithic grid: split it spatially
+    into ``n_shards`` exact-sum parts (volume.grid.split_host_grid)
+    and give each shard of the ('inst',) mesh one part — per-device
+    HBM holds ~1/n of the voxel data and the superposition tracking
+    reconstructs the original medium exactly (disjoint slabs overlap
+    only in the shared halo cells, which the election handles like
+    any other overlap).  Returns the stacked scene for ``shard_scene``
+    + ``render_instance_sharded``."""
+    from vpt_tpu.volume.grid import split_host_grid
+    parts = split_host_grid(host_grid, n_shards, axis=axis)
+    return build_instance_sharded_scene(
+        parts, list(range(n_shards)), [p.transform for p in parts],
+        n_shards, **build_kw)
 
 
 def shard_scene(scene_stack, mesh: Mesh):

@@ -144,6 +144,87 @@ def load_vdb_grid(path: str, density_channel="density",
         read_vdb(path), density_channel, emission_channel, color_channel)
 
 
+def split_host_grid(g: HostGrid, n_parts: int,
+                    axis: int | None = None) -> list[HostGrid]:
+    """Split one grid into ``n_parts`` HostGrids whose trilinear
+    density fields SUM exactly to the original's.
+
+    Parts tile the grid along ``axis`` (0=x, 1=y, 2=z; default the
+    longest dimension).  Each interior part boundary is carried as a
+    shared one-voxel halo row ZEROED on one side: trilinear
+    interpolation is linear in the voxel values, and the parts'
+    voxel arrays sum voxel-wise to the original, so the interpolated
+    fields sum exactly in every cell.  Beyond a part's first/last row
+    the sampler's edge-clamp reads the zero halo, so a part
+    contributes nothing outside its slab (and the domain-edge parts
+    clamp identically to the original).
+
+    This is the beyond-HBM decomposition for a single monolithic
+    grid: hand the parts to parallel.instance_shard.
+    build_grid_sharded_scene and each device of the ('inst',) mesh
+    holds ~1/n of the voxel data while the superposition tracking
+    stays exact.  (The reference leans on CUDA unified memory to
+    oversubscribe one GPU_VDB's device buffer, gpu_vdb.cpp /
+    main.cpp:1265-1272; spatial decomposition over ICI is the
+    TPU-native equivalent.)
+
+    Per-part ``max_density`` is the slab's own maximum, so local
+    majorants tighten for free on grids with uneven density.
+    """
+    if g.color_zyx is not None:
+        raise NotImplementedError(
+            "split_host_grid: the color channel is an albedo, not an "
+            "additive density — splitting it would double-shade "
+            "overlap cells")
+    if axis is None:
+        axis = int(np.argmax(np.asarray(g.dim)))
+    if axis not in (0, 1, 2):
+        raise ValueError(f"axis {axis}")
+    n_ax = int(g.dim[axis])
+    if n_parts < 2:
+        raise ValueError(f"n_parts {n_parts} < 2")
+    if n_ax < 2 * n_parts:
+        raise ValueError(f"grid has {n_ax} rows along axis {axis}; "
+                         f"need >= {2 * n_parts} for {n_parts} parts")
+    np_ax = 2 - axis  # density_zyx is (nz, ny, nx)
+    bounds = [int(round(i * n_ax / n_parts)) for i in range(n_parts + 1)]
+
+    def _slab(arr, lo, hi, zero_first, zero_last):
+        sl = [slice(None)] * 3
+        sl[np_ax] = slice(lo, hi + 1)
+        out = np.array(arr[tuple(sl)], np.float32)
+        zr = [slice(None)] * 3
+        if zero_first:
+            zr[np_ax] = 0
+            out[tuple(zr)] = 0.0
+        if zero_last:
+            zr[np_ax] = out.shape[np_ax] - 1
+            out[tuple(zr)] = 0.0
+        return np.ascontiguousarray(out)
+
+    parts = []
+    for i in range(n_parts):
+        lo = max(bounds[i] - 1, 0)
+        hi = min(bounds[i + 1], n_ax - 1)
+        dd = _slab(g.density_zyx, lo, hi, i > 0, i < n_parts - 1)
+        em = None
+        if g.emission_zyx is not None:
+            em = _slab(g.emission_zyx, lo, hi, i > 0, i < n_parts - 1)
+        bmin = np.asarray(g.bbox_min, np.int32).copy()
+        bmin[axis] += lo
+        dim = np.asarray(g.dim, np.int32).copy()
+        dim[axis] = hi - lo + 1
+        max_d = float(dd.max()) if dd.size else 0.0
+        min_d = (float(np.maximum(dd, np.finfo(np.float32).eps).min())
+                 if dd.size else 1.0)
+        parts.append(HostGrid(
+            density_zyx=dd, emission_zyx=em, color_zyx=None,
+            bbox_min=bmin, dim=dim, transform=g.transform,
+            voxel_size=g.voxel_size, max_density=max_d,
+            min_density=min_d))
+    return parts
+
+
 def _corner_pack_plain(d_zyx: np.ndarray) -> np.ndarray:
     """(nz,ny,nx) -> (nx*ny*nz, 8) rows: the 2x2x2 neighborhood of
     voxel i (tap order corner = x + 2y + 4z, edge-clamped), WITHOUT the
