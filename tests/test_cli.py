@@ -32,6 +32,31 @@ def test_cli_render_cached_shadow_mode(tmp_path):
     assert out.exists()
 
 
+def test_cli_render_inst_sharded(tmp_path):
+    """--inst-shards N: the beyond-HBM scene-sharding path from the
+    CLI — a procedural grid splits into exact-sum slabs over a
+    4-device ('inst',) mesh and renders to a PNG."""
+    import jax
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    from vpt_tpu.app.cli import main
+    out = tmp_path / "shard.png"
+    main(["render", "procedural", "-o", str(out), "--spp", "2",
+          "--width", "32", "--height", "32", "--ray-depth", "3",
+          "--env-type", "constant", "--cpu", "--inst-shards", "4",
+          "--light", "2", "5", "6", "1", "1", "1", "40"])
+    assert out.exists()
+    from PIL import Image
+    img = np.asarray(Image.open(out))
+    assert img.shape[:2] == (32, 32)
+    assert img.max() > 0
+
+    # v1 scope is fenced with clear errors
+    with pytest.raises(SystemExit, match="tracked shadows"):
+        main(["render", "procedural", "-o", str(out), "--cpu",
+              "--inst-shards", "4", "--shadow-mode", "cached"])
+
+
 def test_cli_parser_covers_new_flags():
     from vpt_tpu.app.cli import build_parser
     ap = build_parser()

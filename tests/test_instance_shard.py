@@ -82,9 +82,12 @@ def test_builder_validation():
     grids, ids, xforms = _layout(8)
     with pytest.raises(ValueError, match="divisible"):
         build_instance_sharded_scene(grids, ids, xforms, 3)
-    with pytest.raises(NotImplementedError, match="emission"):
-        build_instance_sharded_scene([_blob(n=16, emission=True)], ids,
-                                     xforms, 4)
+    # mixed channel presence across shards misaligns the padded
+    # corner-row layout: all or none
+    mixed = [_blob(n=16, emission=True), _blob(n=16)]
+    mixed_ids = [0, 0, 0, 0, 1, 1, 1, 1]  # shards 0-1 emissive, 2-3 not
+    with pytest.raises(ValueError, match="ALL shards or"):
+        build_instance_sharded_scene(mixed, mixed_ids, xforms, 4)
 
 
 def test_transmittance_product_matches_single():
@@ -271,6 +274,59 @@ def test_grid_sharded_beyond_hbm():
     from vpt_tpu.render.renderer import ProgressiveRenderer
     film_1 = ProgressiveRenderer(
         combined, dataclasses.replace(p, engine="reference")).render(8)
+    a = np.asarray(film_sh.accum)
+    b = np.asarray(film_1.accum)
+    assert np.isfinite(a).all() and a.mean() > 0
+    assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-9) < 0.25, (
+        a.mean(), b.mean())
+
+
+def test_emission_sharded_matches_single():
+    """The union-rate sharded emission walk agrees in expectation with
+    the combined scene's estimate_emission (the estimator's value
+    CARRIES the sampling rate, QUIRKS #21, so every shard must walk at
+    the union's rate), and the end-to-end emissive render agrees with
+    the reference engine."""
+    from vpt_tpu.render.tracking import estimate_emission
+    from vpt_tpu.parallel.instance_shard import estimate_emission_sharded
+
+    grids = [_blob(n=16, emission=True)]
+    _, ids, xforms = _layout(8)
+    kw = dict(majorant_resolution=32)
+    combined = build_scene(grids, instance_grid_ids=ids,
+                           instance_xforms=xforms, **kw)
+    stacked = build_instance_sharded_scene(grids, ids, xforms, N_SHARDS,
+                                           **kw)
+    mesh = make_inst_mesh(N_SHARDS)
+    stacked_p = shard_scene(stacked, mesh)
+    p = _params().replace(emission_scale=1.5)
+    pos, dirn = _probe_rays(combined, b=96)
+    act = jnp.ones(96, bool)
+    keys = [jax.random.PRNGKey(500 + k) for k in range(24)]
+
+    single = np.mean([np.asarray(estimate_emission(
+        combined, p, k, pos, dirn, active=act)) for k in keys], axis=0)
+    sharded = np.mean([np.asarray(_run_sharded(
+        stacked_p, mesh,
+        functools.partial(lambda s, k: estimate_emission_sharded(
+            s, p, k, pos, dirn, act), k=k))) for k in keys], axis=0)
+    assert np.isfinite(sharded).all()
+    assert single.mean() > 1e-3  # non-trivial emission along the rays
+    assert abs(sharded.mean() - single.mean()) / single.mean() < 0.15, (
+        sharded.mean(), single.mean())
+
+    # end-to-end emissive render vs the reference engine
+    cam = _camera_for(combined)
+    stacked = build_instance_sharded_scene(grids, ids, xforms, N_SHARDS,
+                                           camera=cam, **kw)
+    pr = _params(environment_type=int(Environment.BLACK),
+                 ).replace(emission_scale=1.5)
+    film_sh = render_instance_sharded(shard_scene(stacked, mesh), pr,
+                                      spp=8, mesh=mesh)
+    from vpt_tpu.render.renderer import ProgressiveRenderer
+    combined_cam = dataclasses.replace(combined, camera=cam)
+    film_1 = ProgressiveRenderer(
+        combined_cam, dataclasses.replace(pr, engine="reference")).render(8)
     a = np.asarray(film_sh.accum)
     b = np.asarray(film_1.accum)
     assert np.isfinite(a).all() and a.mean() > 0

@@ -72,6 +72,13 @@ def build_parser():
                    help="force the CPU backend")
     r.add_argument("--sharded", action="store_true",
                    help="render over all devices (tile x spp mesh)")
+    r.add_argument("--inst-shards", type=int, default=0,
+                   help="beyond-HBM: shard the scene itself over an "
+                        "('inst',) mesh of N devices (.ins partitions "
+                        "the instance list; .vdb/procedural splits the "
+                        "grid into exact-sum spatial slabs). v1 scope: "
+                        "tracked shadows, non-atmosphere environments "
+                        "(docs/SCALING.md)")
     r.add_argument("--save-exr", action="store_true",
                    help="also save raw radiance as EXR next to output")
     r.add_argument("--aov",
@@ -152,6 +159,133 @@ def _load_scene(args, lights):
     return scene
 
 
+def _render_inst_sharded(args, lights):
+    """`vpt render --inst-shards N`: the beyond-HBM path — the SCENE
+    (not the rays) shards over an ('inst',) mesh of N devices and the
+    devices jointly track the union medium exactly (docs/SCALING.md,
+    parallel/instance_shard.py).  .ins partitions the instance list;
+    .vdb / 'procedural' split the single grid into exact-sum spatial
+    slabs.  v1 scope: tracked shadows, black/constant/hdri
+    environments."""
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+
+    from vpt_tpu.core.camera import Camera
+    from vpt_tpu.parallel.instance_shard import (
+        build_grid_sharded_scene, build_instance_sharded_scene,
+        make_inst_mesh, render_instance_sharded, shard_scene)
+    from vpt_tpu.render.params import Environment, Integrator, RenderParams
+    from vpt_tpu.scene.scene import _world_bounds
+
+    n = args.inst_shards
+    if n > jax.device_count():
+        raise SystemExit(f"--inst-shards {n}: only {jax.device_count()} "
+                         f"devices visible")
+    if args.atmosphere:
+        raise SystemExit("--inst-shards v1 does not support --atmosphere")
+    if getattr(args, "shadow_mode", "tracked") == "cached":
+        raise SystemExit("--inst-shards v1 supports tracked shadows only")
+    env_name = args.env_type or ("hdri" if args.env else "constant")
+    if env_name == "atmosphere":
+        raise SystemExit("--inst-shards v1: use --env-type "
+                         "black/constant/hdri")
+    env_type = dict(hdri=Environment.HDRI, black=Environment.BLACK,
+                    constant=Environment.CONSTANT)[env_name]
+
+    build_kw = dict(lights=lights)
+    if args.env:
+        from vpt_tpu.utils.hdr import load_hdr
+        build_kw["env_map"] = load_hdr(args.env)
+
+    t0 = time.time()
+    path = args.scene
+    if path == "procedural":
+        from vpt_tpu.volume.procedural import default_procedural_grid
+        host_grids = [default_procedural_grid()]
+        ids, xforms = [0], [host_grids[0].transform]
+    elif path.endswith(".vdb"):
+        from vpt_tpu.volume.grid import load_vdb_grid
+        host_grids = [load_vdb_grid(path)]
+        ids, xforms = [0], [host_grids[0].transform]
+    elif path.endswith(".ins"):
+        from vpt_tpu.scene.ins import read_ins_host
+        host_grids, ids, xforms, ins_lights = read_ins_host(path)
+        if ins_lights is not None:
+            build_kw["lights"] = ins_lights
+    else:
+        raise SystemExit(f"--inst-shards: unsupported scene {path}")
+
+    # default framing from the HOST-side union of instance bounds (the
+    # stacked scene only carries per-shard root boxes)
+    if args.camera:
+        cam = Camera.make(args.camera[:3], args.camera[3:], vfov=args.fov,
+                          aspect=args.width / args.height,
+                          aperture=args.aperture)
+    else:
+        los, his = zip(*[_world_bounds(host_grids[g], np.asarray(xf))
+                         for g, xf in zip(ids, xforms)])
+        lo = np.min(np.stack(los), axis=0) - 1.0
+        hi = np.max(np.stack(his), axis=0) + 1.0
+        c = (lo + hi) / 2
+        dist = float(np.linalg.norm(hi - lo)) * 1.2
+        cam = Camera.make(c + np.array([0.0, dist * 0.15, dist]), c,
+                          vfov=args.fov, aspect=args.width / args.height,
+                          aperture=args.aperture)
+    build_kw["camera"] = cam
+
+    if len(ids) == 1:
+        stack = build_grid_sharded_scene(host_grids[ids[0]], n, **build_kw)
+    else:
+        if len(ids) % n:
+            raise SystemExit(f"--inst-shards: {len(ids)} instances not "
+                             f"divisible by {n}")
+        stack = build_instance_sharded_scene(host_grids, ids, xforms, n,
+                                             **build_kw)
+    log(f"sharded scene built in {time.time()-t0:.1f}s "
+        f"({len(ids)} instance(s) over {n} shards)")
+
+    params = RenderParams(
+        width=args.width, height=args.height, ray_depth=args.ray_depth,
+        volume_depth=args.volume_depth,
+        integrator=int(Integrator.DIRECT), environment_type=int(env_type),
+        seed=args.seed,
+    ).replace(
+        exposure_scale=args.exposure, azimuth=args.azimuth,
+        elevation=args.elevation, sun_mult=args.sun_mult,
+        sky_mult=args.sky_mult, phase_g1=args.phase_g,
+        density_mult=args.density_mult, emission_scale=args.emission_scale,
+    )
+
+    t0 = time.time()
+    mesh = make_inst_mesh(n)
+    film = render_instance_sharded(shard_scene(stack, mesh), params,
+                                   args.spp, mesh)
+    from vpt_tpu.render.film import to_display
+    img = np.asarray(to_display(film, params.exposure_scale))[::-1]
+    dt = time.time() - t0
+    rays = args.width * args.height * args.spp
+    log(f"{args.spp} spp in {dt:.1f}s ({rays/dt/1e6:.2f} Mrays/s)")
+
+    if args.denoise != "none":
+        import dataclasses as _dc
+        if args.denoise == "nn":
+            from vpt_tpu.render.denoise_nn import denoise_film
+            den = denoise_film(film)
+        else:
+            from vpt_tpu.render.denoise import denoise_image
+            den = denoise_image(film.accum, film.alpha)
+        film = _dc.replace(film, accum=den)
+        img = np.asarray(to_display(film, params.exposure_scale))[::-1]
+
+    from vpt_tpu.utils.io import save_image
+    save_image(args.output, img, accum=np.asarray(film.accum)[::-1],
+               save_exr=args.save_exr)
+    log(f"wrote {args.output}")
+
+
 def cmd_render(args):
     if args.cpu:
         import jax
@@ -168,6 +302,9 @@ def cmd_render(args):
     if args.light:
         arr = np.array(args.light)
         lights = PointLights.make(arr[:, 0:3], arr[:, 3:6], arr[:, 6])
+
+    if getattr(args, "inst_shards", 0) > 1:
+        return _render_inst_sharded(args, lights)
 
     t0 = time.time()
     scene = _load_scene(args, lights)

@@ -42,11 +42,13 @@ where rays are sharded over 'tile' and the tracking collectives
 reduce per tile column (render_step_instance_sharded handles both
 mesh shapes).
 
-v1 scope (validated in tests/test_instance_shard.py on the 8-virtual-
-device CPU mesh): volume transport + sun/point-light NEE + environment
-terminal, mirroring render/integrator.py's reference estimator.  The
-debug sphere and emission walks are not wired (instanced production
-scenes use neither; build raises on emissive grids).
+Scope (validated in tests/test_instance_shard.py on the 8-virtual-
+device CPU mesh): volume transport + sun/point-light NEE + emission
+(union-rate walk, estimate_emission_sharded) + environment terminal,
+mirroring render/integrator.py's reference estimator.  The debug
+sphere is not wired (instanced production scenes never use it); the
+emission/color channels must be present on ALL shards or NONE (the
+builder raises on mixed subsets).
 """
 
 from __future__ import annotations
@@ -174,9 +176,14 @@ def build_instance_sharded_scene(host_grids, instance_grid_ids,
         subs.append(build_scene([host_grids[g] for g in uniq],
                                 [remap[g] for g in sub_ids],
                                 list(xf[sl]), **build_kw))
-    if any(s.atlas.has_emission for s in subs):
-        raise NotImplementedError("instance-sharded rendering does not "
-                                  "wire the emission walk (v1)")
+    for ch in ("has_emission", "has_color"):
+        if len({bool(getattr(s.atlas, ch)) for s in subs}) > 1:
+            raise ValueError(
+                f"instance sharding needs {ch[4:]} on ALL shards or "
+                f"NONE: mixed shards would misalign the padded "
+                f"corner-row layout (and, for color, let the absent-"
+                f"channel WHITE dominate the cross-shard max) — "
+                f"regroup the instances or drop the channel")
     if subs[0].majorant is not None and \
             subs[0].majorant.cell_instances is not None:
         subs = _pad_cell_lists(subs)
@@ -347,6 +354,25 @@ def transmittance_sharded(scene, params, key, pos, direction,
     return jnp.exp(jax.lax.psum(log_tr, axis))
 
 
+def estimate_emission_sharded(scene, params, key, pos, direction, active,
+                              axis: str = AXIS):
+    """Rate-weighted emission line integral through the union medium:
+    emission is ADDITIVE over instances (render_kernel.cu:970-982), so
+    each shard walks its OWN sub-box with an independent key and the
+    partial sums ``psum``.  Every shard samples at the UNION's rate
+    (pmax of max_extinction): the estimator's expectation carries the
+    rate factor (QUIRKS #21), so per-shard rates would weight each
+    component differently from the combined scene."""
+    from vpt_tpu.render.tracking import estimate_emission
+
+    idx = jax.lax.axis_index(axis)
+    sig_u = jax.lax.pmax(scene.max_extinction, axis)
+    em = estimate_emission(scene, params, jax.random.fold_in(key, idx),
+                           pos, direction, active=active,
+                           max_extinction=sig_u)
+    return jax.lax.psum(em, axis)
+
+
 # ---------------------------------------------------------------------------
 # sharded estimator (mirror of integrator.direct_integrator, v1 scope)
 # ---------------------------------------------------------------------------
@@ -354,10 +380,11 @@ def transmittance_sharded(scene, params, key, pos, direction,
 def _trace_instance_sharded(scene, params, key, origin, direction,
                             axis: str = AXIS):
     """Lane-masked direct integrator over the sharded medium: the
-    control flow of integrator.direct_integrator with the tracking and
-    every shadow walk replaced by their sharded-exact forms, the debug
-    sphere and emission dropped (v1 scope).  The 'volume root box' is
-    the union of the shards' boxes (pmin/pmax collectives)."""
+    control flow of integrator.direct_integrator with the tracking,
+    every shadow walk, and the emission walk replaced by their
+    sharded-exact forms; the debug sphere is dropped.  The 'volume
+    root box' is the union of the shards' boxes (pmin/pmax
+    collectives)."""
     B = origin.shape[0]
     gmin = jax.lax.pmin(scene.root_pmin, axis)
     gmax = jax.lax.pmax(scene.root_pmax, axis)
@@ -402,6 +429,12 @@ def _trace_instance_sharded(scene, params, key, origin, direction,
                                        jax.random.fold_in(kd, 3), pos, dirn,
                                        tr_fn=tr_fn)
             L = L + jnp.where(mi[..., None], pl * beta, 0.0)
+        if scene.atlas.has_emission:
+            em = estimate_emission_sharded(scene, params,
+                                           jax.random.fold_in(kd, 4), pos,
+                                           dirn, mi, axis)
+            # QUIRKS #5: emission is NOT scaled by beta
+            L = L + jnp.where(mi[..., None], em, 0.0)
 
         done = done | ~hit
         return (pos, dirn, beta, L, alpha, depth_aov, cost, done,

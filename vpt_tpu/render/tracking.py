@@ -686,18 +686,25 @@ def transmittance(scene, params, key, pos, direction):
     return tr
 
 
-def estimate_emission(scene, params, key, pos, direction, active=None):
+def estimate_emission(scene, params, key, pos, direction, active=None,
+                      max_extinction=None):
     """Rate-weighted emission line integral (render_kernel.cu:1275-1339,
     QUIRKS #21): a ratio-tracking-rate walk summing sum_emission at
     every sampled point.  No empty-space skipping — emission can live
     where density is zero (the reference's octree skip only skips
-    no-VOLUME nodes)."""
+    no-VOLUME nodes).
+
+    ``max_extinction`` overrides the sampling-rate extinction (QUIRKS
+    #21: the estimator's expectation CARRIES the rate factor, so a
+    sharded union scene must walk every component at the union's rate
+    — parallel.instance_shard.estimate_emission_sharded)."""
     B = pos.shape[0]
     if not scene.atlas.has_emission:
         return jnp.zeros((B, 3), jnp.float32)
     ext_x = vec3_param(params.extinction)[0]
-    rate_inv = (params.tr_depth
-                / jnp.maximum(scene.max_extinction * ext_x, 1e-12))
+    sig = (scene.max_extinction if max_extinction is None
+           else max_extinction)
+    rate_inv = params.tr_depth / jnp.maximum(sig * ext_x, 1e-12)
     _, _, distance = aabb_intersect(scene.root_pmin, scene.root_pmax, pos,
                                     direction)
     distance = jnp.maximum(distance, 0.0)

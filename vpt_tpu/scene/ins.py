@@ -87,10 +87,15 @@ def instance_transform(grid_xform: np.ndarray, pos, quat, scale) -> np.ndarray:
     return m
 
 
-def load_ins_scene(path: str, base_dir: str | None = None, **scene_kw):
-    """Build a Scene from a .ins file (volumes or lights variant)."""
+def read_ins_host(path: str, base_dir: str | None = None):
+    """Host-side .ins contents: (host_grids, grid_ids, xforms, lights).
+
+    ``lights`` is a PointLights for the lights variant (with
+    host_grids/ids/xforms describing the default procedural volume,
+    main.cpp:989-1018 empty_volume) and None for the volumes variant.
+    This is the pre-device form build_scene AND the beyond-HBM
+    builders (parallel.instance_shard) consume."""
     from vpt_tpu.lights.lights import PointLights
-    from vpt_tpu.scene.scene import build_scene
     from vpt_tpu.volume.grid import load_vdb_grid
     from vpt_tpu.volume.procedural import default_procedural_grid
 
@@ -98,12 +103,10 @@ def load_ins_scene(path: str, base_dir: str | None = None, **scene_kw):
     ins = read_ins(path)
 
     if ins.lights is not None:
-        # light variant: point lights + the default procedural volume
-        # (main.cpp:989-1018 sets empty_volume = true)
         lights = PointLights.make(ins.lights[:, 0:3], ins.lights[:, 3:6],
                                   ins.lights[:, 6])
-        grids = [scene_kw.pop("host_grid", None) or default_procedural_grid()]
-        return build_scene(grids, lights=lights, **scene_kw)
+        g = default_procedural_grid()
+        return [g], [0], [g.transform], lights
 
     host_grids = []
     grid_ids, xforms = [], []
@@ -116,5 +119,17 @@ def load_ins_scene(path: str, base_dir: str | None = None, **scene_kw):
             grid_ids.append(gi)
             xforms.append(instance_transform(
                 host_grids[gi].transform, row[0:3], row[3:7], row[7]))
+    return host_grids, grid_ids, xforms, None
+
+
+def load_ins_scene(path: str, base_dir: str | None = None, **scene_kw):
+    """Build a Scene from a .ins file (volumes or lights variant)."""
+    from vpt_tpu.scene.scene import build_scene
+
+    host_grids, grid_ids, xforms, lights = read_ins_host(path, base_dir)
+    if lights is not None:
+        # light variant: point lights + the default procedural volume
+        grids = [scene_kw.pop("host_grid", None) or host_grids[0]]
+        return build_scene(grids, lights=lights, **scene_kw)
     return build_scene(host_grids, instance_grid_ids=np.array(grid_ids),
                        instance_xforms=xforms, **scene_kw)
