@@ -59,10 +59,19 @@ ONLY = os.environ.get("BENCH_ONLY", "")  # comma-sep scenario filter
 # BENCH_EXTRA=1 adds the low-signal variants (cached config2/3, cached
 # union) that each cost a ~25 s tunnel compile
 EXTRA = os.environ.get("BENCH_EXTRA", "0") == "1"
-# the driver's kill arrives at ~900 s (observed SIGTERM at 896 s
-# elapsed); 720 leaves margin for the in-flight scenario + emit while
-# skipping far fewer scenarios than the old 480 did (5 skips at 564 s)
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 720))
+# Deadlines (round-5 rework — VERDICT r4 weak #2).  The driver's kill
+# was observed at ~1798 s elapsed (BENCH_r04: signal 15), 2.5x the old
+# 720 s soft deadline, because the soft check only ran BETWEEN
+# scenarios while scene builds / tunnel compiles / the in-flight
+# scenario were unbounded.  Two layers now:
+#   * DEADLINE_S (soft, default 1100): no NEW scenario or expensive
+#     sub-step (full 1080p run, cached variants) starts past it;
+#   * HARD_DEADLINE_S (default 1440): a SIGALRM fires, emits the JSON
+#     from whatever completed, and exits 0 — bounding even an
+#     in-flight compile/scene-build.  Signals demonstrably get through
+#     the tunnel stack (the r4 SIGTERM partial emit worked).
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1100))
+HARD_DEADLINE_S = float(os.environ.get("BENCH_HARD_DEADLINE_S", 1440))
 T0 = time.time()
 
 
@@ -150,6 +159,13 @@ STATE = {
     "north": {},
     "gather_rate_ns": None,
     "emitted": False,
+    # every scenario the run intends to cover; emit() marks any that
+    # produced no entry as explicitly skipped so the driver JSON never
+    # silently omits one (VERDICT r4 next-round #2)
+    "planned": ["config1_dragon", "north_star", "config4_atmosphere",
+                "config2_fireball", "config3_smoke_hdri",
+                "config5_cloudscape", "config5_union", "config5_4k",
+                "bigvol_512"],
 }
 
 
@@ -159,6 +175,14 @@ def emit(tag=None):
         return
     STATE["emitted"] = True
     results = STATE["results"]
+    # north_star reports through its own key; everything else planned
+    # but absent gets an explicit skip marker
+    for name in STATE["planned"]:
+        done = (bool(STATE["north"]) if name == "north_star" else any(
+            k == name or k.startswith(name + "_") or k.startswith(name + "__")
+            for k in results))
+        if not done and not (ONLY and name not in ONLY.split(",")):
+            results[f"{name}__skipped"] = tag or "not reached"
     # BASELINE.json's metric is "Mrays/sec/chip ... at 1080p
     # (dragon.vdb)", so the headline is the north-star 1080p rate when
     # it was measured; the 512^2 config-1 rate (which carries ~2x more
@@ -202,8 +226,18 @@ def _on_term(signum, frame):  # noqa: ARG001
     os._exit(0)
 
 
+def _on_alarm(signum, frame):  # noqa: ARG001
+    _log(f"# hard deadline ({HARD_DEADLINE_S:.0f}s): emitting partial "
+         "results and exiting 0")
+    emit(tag="hard deadline")
+    sys.stdout.flush()
+    os._exit(0)
+
+
 signal.signal(signal.SIGTERM, _on_term)
 signal.signal(signal.SIGINT, _on_term)
+signal.signal(signal.SIGALRM, _on_alarm)
+signal.alarm(int(HARD_DEADLINE_S))
 
 
 def main():

