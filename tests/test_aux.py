@@ -266,3 +266,30 @@ def test_procedural_chunked_generation_matches():
     b = create_procedural_grid(vmin=(-8, -8, -8), vmax=(8, 8, 8), res=1.0,
                                chunk_z=5)
     np.testing.assert_array_equal(a.density_zyx, b.density_zyx)
+
+
+def test_hdr_old_style_rle():
+    """Old-style RGBE RLE: (1,1,1,n) repeats the previous pixel n<<shift
+    times, consecutive markers escalate the shift (hdr_loader.h legacy
+    path; Radiance oldreadcolrs semantics)."""
+    from vpt_tpu.utils.hdr import load_hdr
+    H, W = 2, 300
+    e = 129  # scale 1/128
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "old.hdr")
+        with open(path, "wb") as f:
+            f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+            f.write(f"-Y {H} +X {W}\n".encode())
+            # row 0: one literal pixel then a 299-repeat via two markers
+            # (43 + (1 << 8)) = 299
+            f.write(bytes([128, 64, 32, e]))
+            f.write(bytes([1, 1, 1, 43]))
+            f.write(bytes([1, 1, 1, 1]))
+            # row 1: flat row, no markers (fast path)
+            f.write(bytes([64, 128, 32, e]) * W)
+        img = load_hdr(path)
+    assert img.shape == (H, W, 3)
+    np.testing.assert_allclose(img[0], np.tile([1.0, 0.5, 0.25], (W, 1)),
+                               rtol=1e-2)
+    np.testing.assert_allclose(img[1], np.tile([0.5, 1.0, 0.25], (W, 1)),
+                               rtol=1e-2)

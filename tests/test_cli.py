@@ -65,3 +65,35 @@ def test_cli_parser_covers_new_flags():
     assert a.bake_sky and a.shadow_mode == "cached"
     v = ap.parse_args(["view", "x.vdb", "--shadow-mode", "cached"])
     assert v.shadow_mode == "cached"
+
+
+def test_cli_checkpoint_resume_bit_identical(tmp_path):
+    """--checkpoint-every / --resume: a render killed at 2 spp and
+    resumed to 4 is BIT-identical to an uninterrupted 4-spp run
+    (deterministic per-iteration seeding; VERDICT r4 #9 /
+    main.cpp:1699 auto-save analog)."""
+    from vpt_tpu.app.cli import main
+    common = ["--spp", "4", "--width", "32", "--height", "32",
+              "--ray-depth", "3", "--env-type", "constant", "--cpu",
+              "--light", "2", "5", "6", "1", "1", "1", "40",
+              "--save-exr"]
+    ref = tmp_path / "ref.png"
+    main(["render", "procedural", "-o", str(ref)] + common)
+
+    # interrupted run: checkpoint every 2 spp, stop at 2
+    part = tmp_path / "part.png"
+    ckpt = tmp_path / "part.ckpt.npz"
+    main(["render", "procedural", "-o", str(part),
+          "--checkpoint-every", "2"]
+         + [a if a != "4" else "2" for a in common])
+    assert ckpt.exists()
+
+    # resume to 4 spp total
+    out = tmp_path / "resumed.png"
+    main(["render", "procedural", "-o", str(out), "--resume", str(ckpt)]
+         + common)
+
+    from vpt_tpu.utils.exr import read_exr_rgb
+    a = read_exr_rgb(str(tmp_path / "ref.exr"))
+    b = read_exr_rgb(str(tmp_path / "resumed.exr"))
+    np.testing.assert_array_equal(a, b)

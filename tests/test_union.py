@@ -74,3 +74,34 @@ def test_union_render_matches_exact(cached):
     assert np.isfinite(b).all()
     assert a.mean() > 0
     assert abs(b.mean() - a.mean()) / a.mean() < 0.08, (a.mean(), b.mean())
+
+
+def test_union_error_estimators_and_auto_resolution():
+    """union_field_error (built grid) and union_error_at_resolution
+    (build-free estimate) agree with each other and shrink with
+    resolution; choose_union_resolution picks the coarsest candidate
+    inside the budget (VERDICT r4 #3: the approximation's error is
+    measured per run, not assumed)."""
+    from vpt_tpu.volume.union import (choose_union_resolution,
+                                     resample_union_grid,
+                                     union_error_at_resolution,
+                                     union_field_error)
+    grids, ids, xforms = _instanced()
+    union = resample_union_grid(grids, ids, xforms, resolution=160)
+    err_built = union_field_error(union, grids, ids, xforms, n=1500,
+                                  seed=1)
+    err_est = union_error_at_resolution(grids, ids, xforms, 160,
+                                        n=1500, seed=1)
+    assert err_built < 0.2
+    # same quantity, same points: the estimator tracks the built grid
+    assert abs(err_built - err_est) < 0.3 * max(err_built, err_est, 1e-3)
+
+    err_coarse = union_error_at_resolution(grids, ids, xforms, 48,
+                                           n=1500, seed=1)
+    assert err_coarse > err_est  # finer grids resample tighter
+
+    res, err = choose_union_resolution(
+        grids, ids, xforms, error_budget=max(err_est * 1.5, 1e-3),
+        candidates=(48, 160, 224), n=1500, seed=1)
+    assert res in (48, 160)
+    assert err <= max(err_est * 1.5, 1e-3)

@@ -159,3 +159,102 @@ def test_viewer_denoise_display(viewer_url):
         assert st.denoise == mode
         assert _get(viewer_url + "/frame.png")[:4] == b"\x89PNG"
     assert json.loads(_get(viewer_url + "/status"))["spp"] >= spp_before
+
+
+# ---- round-5 control parity (VERDICT r4 #6 / main.cpp:1565-1641) ----
+
+def _mini_state(**kw):
+    import dataclasses
+
+    from tests.test_scenarios import _blob_grid, _cam_for
+    from vpt_tpu.app.viewer import ViewerState
+    from vpt_tpu.scene.scene import build_scene
+    scene = build_scene([_blob_grid()])
+    scene = dataclasses.replace(scene, camera=_cam_for(scene))
+    params = RenderParams(width=16, height=16, ray_depth=3,
+                          max_track_steps=32, max_fused_steps=64,
+                          environment_type=int(Environment.CONSTANT))
+    return ViewerState(scene, params, **kw)  # thread NOT started
+
+
+def test_viewer_aperture_and_dof_view():
+    """Aperture slider rebuilds the camera + restarts; view=dof renders
+    the focus-band overlay (main.cpp:1601-1604)."""
+    st = _mini_state()
+    st.renderer.step(1)
+    assert st.renderer.iteration == 1
+    st.set_param("aperture", "0.5")
+    assert st.renderer.iteration == 0  # restarted
+    assert float(st.renderer.scene.camera.lens_radius) > 0.0
+    st.set_param("view", "dof")
+    png = st.frame_png()
+    assert png[:4] == b"\x89PNG"
+
+
+def test_viewer_integrator_and_depth_counts():
+    """Integrator select + ray/volume-depth inputs re-specialize the
+    params (main.cpp:1573-1585)."""
+    from vpt_tpu.render.params import Integrator
+    st = _mini_state()
+    st.set_param("integrator", "volumetric")
+    assert st.renderer.params.integrator == int(Integrator.VOLUMETRIC)
+    st.set_param("integrator", "direct")
+    st.set_param("ray_depth", "7")
+    assert st.renderer.params.ray_depth == 7
+    st.set_param("volume_depth", "2")
+    assert st.renderer.params.volume_depth == 2
+    st.renderer.step(1)  # still renders after the static changes
+    assert st.renderer.iteration == 1
+
+
+def test_viewer_procedural_regen():
+    """Noise type/scale/res selects rebuild the grid through the
+    launcher callback, keeping the camera (main.cpp:1671-1682)."""
+    calls = []
+
+    def rebuild(noise_type, scale, res):
+        from vpt_tpu.scene.scene import build_scene
+        from vpt_tpu.volume.procedural import create_procedural_grid
+        calls.append((noise_type, scale, res))
+        grid = create_procedural_grid(vmin=(-4.0,) * 3, vmax=(4.0,) * 3,
+                                      res=8.0 / max(res, 4),
+                                      noise_type=noise_type, scale=scale)
+        return build_scene([grid])
+
+    st = _mini_state(procedural_rebuild=rebuild)
+    cam_before = st.renderer.scene.camera
+    st.set_param("noise_type", "6")  # turbulence
+    assert calls[-1][0] == 6
+    st.set_param("noise_scale", "0.2")
+    assert calls[-1][1] == pytest.approx(0.2)
+    st.set_param("noise_res", "16")
+    assert calls[-1][2] == 16
+    # camera preserved across the scene swap
+    np.testing.assert_array_equal(np.asarray(st.renderer.scene.camera.origin),
+                                  np.asarray(cam_before.origin))
+    st.renderer.step(1)
+
+
+def test_viewer_atmosphere_recompute():
+    """Luminance/ozone/solar/white-balance selects re-run
+    make_atmosphere and swap the LUTs (main.cpp:1709-1732)."""
+    import dataclasses
+
+    from vpt_tpu.scene.scene import attach_atmosphere
+    from vpt_tpu.sky.bruneton import LutDims
+    from vpt_tpu.sky.runtime import make_atmosphere
+    tiny = LutDims(transmittance_w=16, transmittance_h=8, r=4, mu=8,
+                   mu_s=4, nu=2, irradiance_w=8, irradiance_h=4)
+    st = _mini_state(atmo_dims=tiny)
+    st.renderer.params = st.renderer.params.replace(
+        environment_type=int(Environment.ATMOSPHERE))
+    st.renderer.scene = attach_atmosphere(
+        st.renderer.scene, atmosphere=make_atmosphere(dims=tiny))
+    before = st.renderer.scene.atmosphere
+    st.set_param("atmo_solar", "constant")
+    after = st.renderer.scene.atmosphere
+    assert after is not before
+    # constant-solar LUTs genuinely differ from the real-spectrum ones
+    a = np.asarray(before.luts.transmittance)
+    b = np.asarray(after.luts.transmittance)
+    assert not np.allclose(a, b)

@@ -37,7 +37,11 @@ def build_parser():
     r.add_argument("--integrator", choices=["direct", "volumetric"],
                    default="direct")
     r.add_argument("--engine", choices=["fused", "march", "reference"],
-                   default="fused")
+                   default="fused",
+                   help="fused (default, production), reference "
+                        "(validation), march (analytic single-scatter "
+                        "validation — NOTE: ~24x slower than fused; "
+                        "docs/ROADMAP.md)")
     r.add_argument("--env-type",
                    choices=["atmosphere", "hdri", "black", "constant"],
                    default=None, help="default: hdri if env given else atmosphere")
@@ -56,6 +60,14 @@ def build_parser():
     r.add_argument("--light", nargs=7, type=float, action="append",
                    metavar="V", default=None,
                    help="px py pz r g b power (repeatable)")
+    r.add_argument("--union", default="off", metavar="off|auto|RES",
+                   help="collapse an instanced .ins scene onto one "
+                        "world grid (volume/union.py): the whole "
+                        "single-instance fast path at one gather/step. "
+                        "Documented approximation — the measured field "
+                        "error is logged; 'auto' picks the coarsest "
+                        "resolution within a 5%% error budget, an "
+                        "integer fixes the resolution")
     r.add_argument("--shadow-mode", choices=["tracked", "cached"],
                    default="tracked",
                    help="cached = precomputed light-transmittance "
@@ -68,6 +80,19 @@ def build_parser():
                         "1520): nn = learned kernel-predicting filter "
                         "(falls back to atrous without trained weights)")
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="save the progressive film every N spp (the "
+                        "reference's auto-save at max_interactions, "
+                        "main.cpp:1699; SURVEY §5 checkpoint/resume). "
+                        "Default path: OUTPUT.ckpt.npz")
+    r.add_argument("--checkpoint-path", default=None,
+                   help="override the checkpoint file path")
+    r.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume a checkpointed render: loads the film + "
+                        "iteration and continues to --spp total samples. "
+                        "Seeding is deterministic per absolute iteration, "
+                        "so kill+resume is bit-identical to an "
+                        "uninterrupted run (tests/test_cli.py)")
     r.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     r.add_argument("--sharded", action="store_true",
@@ -130,6 +155,10 @@ def build_parser():
                    metavar="V", default=None)
     v.add_argument("--shadow-mode", choices=["tracked", "cached"],
                    default="tracked")
+    v.add_argument("--atmosphere", action="store_true",
+                   help="attach the Bruneton atmosphere (half-res LUTs) "
+                        "with live luminance/ozone/solar/white-balance "
+                        "recompute selects (main.cpp:1709-1732)")
     v.add_argument("--port", type=int, default=8787)
     v.add_argument("--cpu", action="store_true")
     v.add_argument("--open", action="store_true", help="open a browser")
@@ -146,8 +175,30 @@ def _load_scene(args, lights):
     elif path.endswith(".vdb"):
         scene = load_vdb_scene(path, lights=lights)
     elif path.endswith(".ins"):
-        from vpt_tpu.scene.ins import load_ins_scene
-        scene = load_ins_scene(path, lights=lights)
+        union = getattr(args, "union", "off")
+        if union != "off":
+            from vpt_tpu.scene.ins import read_ins_host
+            from vpt_tpu.volume.union import (build_union_scene,
+                                              choose_union_resolution,
+                                              union_error_at_resolution)
+            host_grids, ids, xforms, ins_lights = read_ins_host(path)
+            if union == "auto":
+                res, err = choose_union_resolution(host_grids, ids,
+                                                   xforms,
+                                                   error_budget=0.05)
+            else:
+                res = int(union)
+                err = union_error_at_resolution(host_grids, ids, xforms,
+                                                res)
+            log(f"union mode: resolution {res}, measured field error "
+                f"{err:.4f} vs exact (documented bound 0.05; "
+                "volume/union.py)")
+            scene = build_union_scene(
+                host_grids, ids, xforms, resolution=res,
+                lights=ins_lights if ins_lights is not None else lights)
+        else:
+            from vpt_tpu.scene.ins import load_ins_scene
+            scene = load_ins_scene(path, lights=lights)
     elif path.endswith(".hdr"):
         from vpt_tpu.scene.scene import load_hdr_env_scene
         return load_hdr_env_scene(path, lights=lights)
@@ -370,6 +421,13 @@ def cmd_render(args):
                                     elevation=args.elevation)
         log(f"shadow cache baked in {time.time()-t1:.1f}s")
 
+    ckpt_every = getattr(args, "checkpoint_every", 0)
+    resume = getattr(args, "resume", None)
+    if (ckpt_every or resume) and args.sharded:
+        raise SystemExit("--checkpoint-every/--resume apply to the "
+                         "single-device progressive path (use "
+                         "--sharded without checkpointing)")
+
     t0 = time.time()
     if args.sharded and jax.device_count() > 1:
         from vpt_tpu.parallel.shard import (make_mesh, render_sharded,
@@ -381,7 +439,29 @@ def cmd_render(args):
         img = np.asarray(to_display(film, params.exposure_scale))[::-1]
     else:
         r = ProgressiveRenderer(scene, params)
-        film = r.render(args.spp)
+        if resume:
+            from vpt_tpu.render.film import load_film
+            r.film, r.iteration = load_film(resume)
+            if r.film.accum.shape[:2] != (args.height, args.width):
+                raise SystemExit(
+                    f"--resume: checkpoint is "
+                    f"{r.film.accum.shape[1]}x{r.film.accum.shape[0]}, "
+                    f"render is {args.width}x{args.height}")
+            log(f"resumed at {r.iteration} spp from {resume}")
+        if ckpt_every:
+            import os as _os
+            ckpt = (getattr(args, "checkpoint_path", None)
+                    or f"{_os.path.splitext(args.output)[0]}.ckpt.npz")
+            _os.makedirs(_os.path.dirname(ckpt) or ".", exist_ok=True)
+            from vpt_tpu.render.film import save_film
+            while r.iteration < args.spp:
+                n = min(ckpt_every, args.spp - r.iteration)
+                r.step(n)
+                save_film(ckpt, r.film, r.iteration)
+                log(f"checkpoint at {r.iteration}/{args.spp} spp -> {ckpt}")
+            film = r.film
+        else:
+            film = r.render(max(args.spp - r.iteration, 0))
         img = r.display_image()[::-1]
     dt = time.time() - t0
     rays = args.width * args.height * args.spp
@@ -486,8 +566,38 @@ def cmd_view(args):
         from vpt_tpu.accel.shadow import attach_shadow_cache
         scene = attach_shadow_cache(scene, azimuth=params.azimuth,
                                     elevation=params.elevation)
+
+    atmo_dims = None
+    if getattr(args, "atmosphere", False) and env_name == "atmosphere":
+        from vpt_tpu.scene.scene import attach_atmosphere
+        from vpt_tpu.sky.bruneton import LutDims
+        from vpt_tpu.sky.runtime import make_atmosphere
+        # interactive recomputes want half-res LUTs (seconds, not
+        # minutes — the reference recomputes its full LUT set on a
+        # GPU, main.cpp:1709-1732)
+        atmo_dims = LutDims(transmittance_w=128, transmittance_h=32,
+                            r=16, mu=64, mu_s=16, nu=4,
+                            irradiance_w=32, irradiance_h=8)
+        scene = attach_atmosphere(scene, atmosphere=make_atmosphere(
+            dims=atmo_dims))
+
+    procedural_rebuild = None
+    if args.scene == "procedural":
+        from vpt_tpu.scene.scene import build_scene
+        from vpt_tpu.volume.procedural import create_procedural_grid
+
+        def procedural_rebuild(noise_type, scale, res):
+            # live regen (main.cpp:1671-1682): same [-100,100]^3 box,
+            # resolution = box / res voxels per side
+            grid = create_procedural_grid(
+                vmin=(-100.0,) * 3, vmax=(100.0,) * 3,
+                res=200.0 / max(res, 8), noise_type=noise_type,
+                scale=scale)
+            return build_scene([grid], lights=lights)
+
     from vpt_tpu.app.viewer import serve
-    serve(scene, params, port=args.port, open_browser=args.open)
+    serve(scene, params, port=args.port, open_browser=args.open,
+          procedural_rebuild=procedural_rebuild, atmo_dims=atmo_dims)
 
 
 def main(argv=None):

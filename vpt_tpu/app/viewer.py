@@ -39,11 +39,41 @@ _DYNAMIC_SLIDERS = [
 # the reference's PTX switch).
 _STATIC_SELECTS = [
     ("engine", "engine", ["fused", "reference", "march"]),
+    ("integrator", "integrator", ["direct", "volumetric"]),
     ("shadow_mode", "shadow mode", ["tracked", "cached"]),
     # display-only: filters the preview like the reference's one-click
     # OIDN button (main.cpp:1571-1595) — accumulation continues
     # untouched, so switching back to "none" loses nothing
     ("denoise", "denoise", ["none", "atrous", "nn"]),
+    # display-only DOF focus-band visualization (render_kernel.cu:
+    # 2270-2274 / main.cpp:1601-1604): film.dof_overlay at frame time
+    ("view", "view", ["render", "dof"]),
+]
+
+# (name, label, min, max) — integer count inputs (the reference's
+# ray/volume interaction depth fields, main.cpp:1573-1585).  STATIC
+# trace-shaping params: a change recompiles on the next step.
+_INT_INPUTS = [
+    ("ray_depth", "ray depth", 1, 200),
+    ("volume_depth", "volume depth", 1, 8),
+]
+
+# procedural-volume regen controls (main.cpp:1671-1682): live noise
+# type/scale/resolution rebuild via volume/procedural.py — only
+# rendered when the viewer was launched on a procedural scene
+_NOISE_NAMES = ["perlin", "simplex", "worley", "fbm_perlin",
+                "fbm_perlin_abs", "fractal_simplex", "turbulence",
+                "cubic_value", "spots"]
+
+# Bruneton recompute selects (main.cpp:1709-1732): each change re-runs
+# make_atmosphere and re-attaches the LUTs — only rendered when the
+# scene carries an atmosphere
+_ATMO_SELECTS = [
+    ("atmo_luminance", "luminance", ["none", "approximate",
+                                     "precomputed"]),
+    ("atmo_white_balance", "white balance", ["off", "on"]),
+    ("atmo_ozone", "ozone", ["on", "off"]),
+    ("atmo_solar", "solar spectrum", ["real", "constant"]),
 ]
 
 _PAGE = """<!doctype html><html><head><title>vpt viewer</title><style>
@@ -100,18 +130,37 @@ async function send(kind, a, b){
 </script></body></html>"""
 
 
-def _slider_html(params):
+def _slider_html(params, state=None):
     rows = []
-    for name, label, lo, hi, st in _DYNAMIC_SLIDERS:
+    sliders = list(_DYNAMIC_SLIDERS)
+    # aperture is CAMERA state (main.cpp:1601-1604), not a RenderParams
+    # field — ViewerState rebuilds the camera on change
+    ap = float(state.aperture) if state is not None else 0.0
+    rows.append(
+        f'<label>aperture <span id="v_aperture">{ap:g}</span><br>'
+        f'<input type="range" min="0" max="2" step="0.01" value="{ap}" '
+        f"oninput=\"setp('aperture', this.value)\"></label>")
+    for name, label, lo, hi, st in sliders:
         val = float(getattr(params, name))
         rows.append(
             f'<label>{label} <span id="v_{name}">{val:g}</span><br>'
             f'<input type="range" min="{lo}" max="{hi}" step="{st}" '
             f'value="{val}" '
             f"oninput=\"setp('{name}', this.value)\"></label>")
+    for name, label, lo, hi in _INT_INPUTS:
+        val = int(getattr(params, name))
+        rows.append(
+            f'<label>{label} <span id="v_{name}">{val}</span><br>'
+            f'<input type="number" min="{lo}" max="{hi}" value="{val}" '
+            f"onchange=\"setp('{name}', this.value)\"></label>")
+    from vpt_tpu.render.params import Integrator
+    cur_int = ("volumetric" if int(params.integrator)
+               == int(Integrator.VOLUMETRIC) else "direct")
     for name, label, choices in _STATIC_SELECTS:
-        cur = getattr(params, name, choices[0])  # "denoise" is viewer
-        # state, not a RenderParams field — default option
+        cur = (cur_int if name == "integrator"
+               else getattr(params, name, choices[0]))
+        if state is not None and name in ("denoise", "view"):
+            cur = getattr(state, name, choices[0])
         opts = "".join(
             f'<option value="{c}"{" selected" if c == cur else ""}>{c}'
             f"</option>" for c in choices)
@@ -119,6 +168,37 @@ def _slider_html(params):
             f'<label>{label} <span id="v_{name}"></span><br>'
             f'<select onchange="setp(\'{name}\', this.value)">{opts}'
             f"</select></label>")
+    if state is not None and state.procedural_rebuild is not None:
+        opts = "".join(f'<option value="{i}"'
+                       f'{" selected" if i == state.noise_type else ""}>'
+                       f"{n}</option>" for i, n in enumerate(_NOISE_NAMES))
+        rows.append(
+            f'<label>noise type <span id="v_noise_type"></span><br>'
+            f'<select onchange="setp(\'noise_type\', this.value)">{opts}'
+            f"</select></label>")
+        rows.append(
+            f'<label>noise scale <span id="v_noise_scale">'
+            f'{state.noise_scale:g}</span><br>'
+            f'<input type="range" min="0.005" max="0.5" step="0.005" '
+            f'value="{state.noise_scale}" '
+            f"oninput=\"setp('noise_scale', this.value)\"></label>")
+        rows.append(
+            f'<label>noise res <span id="v_noise_res">'
+            f'{state.noise_res}</span><br>'
+            f'<input type="number" min="16" max="256" '
+            f'value="{state.noise_res}" '
+            f"onchange=\"setp('noise_res', this.value)\"></label>")
+    if state is not None and getattr(state.renderer.scene, "atmosphere",
+                                     None) is not None:
+        for name, label, choices in _ATMO_SELECTS:
+            cur = state.atmo_opts[name]
+            opts = "".join(
+                f'<option value="{c}"{" selected" if c == cur else ""}>'
+                f"{c}</option>" for c in choices)
+            rows.append(
+                f'<label>{label} <span id="v_{name}"></span><br>'
+                f'<select onchange="setp(\'{name}\', this.value)">{opts}'
+                f"</select></label>")
     return "\n".join(rows)
 
 
@@ -129,7 +209,8 @@ class ViewerState:
     (orbit/pan/zoom, main.cpp:1105-1129) rebuild the Camera pytree —
     a traced input, so no recompile."""
 
-    def __init__(self, scene, params, vfov=40.0, aperture=0.0):
+    def __init__(self, scene, params, vfov=40.0, aperture=0.0,
+                 procedural_rebuild=None, atmo_dims=None):
         import numpy as np
 
         from vpt_tpu.render.renderer import ProgressiveRenderer
@@ -142,6 +223,20 @@ class ViewerState:
         self.vfov = vfov
         self.aperture = aperture
         self.denoise = "none"  # display-only (see _STATIC_SELECTS)
+        self.view = "render"   # display-only ("dof" = focus-band viz)
+        # procedural live-regen state (main.cpp:1671-1682):
+        # procedural_rebuild(noise_type, scale, res) -> new scene
+        self.procedural_rebuild = procedural_rebuild
+        # defaults mirror default_procedural_grid (fbm perlin at scale
+        # 0.01 over a 200^3 box)
+        self.noise_type = 3  # NOISE_FBM_PERLIN
+        self.noise_scale = 0.01
+        self.noise_res = 200
+        # Bruneton recompute state (main.cpp:1709-1732)
+        self.atmo_dims = atmo_dims
+        self.atmo_opts = dict(atmo_luminance="none",
+                              atmo_white_balance="off",
+                              atmo_ozone="on", atmo_solar="real")
         cam = scene.camera
         eye = np.asarray(cam.origin, np.float64)
         self.pivot = eye - np.asarray(cam.w, np.float64) \
@@ -200,14 +295,96 @@ class ViewerState:
                 if self.ms_per_spp else dt * 1000
             time.sleep(0.001)
 
+    def _rebuild_procedural(self):
+        """Live noise regen (main.cpp:1671-1682): rebuild the grid +
+        scene via the launcher-provided callback, keep the camera."""
+        new_scene = self.procedural_rebuild(self.noise_type,
+                                            self.noise_scale,
+                                            self.noise_res)
+        with self.lock:
+            cam = self.renderer.scene.camera
+            self.renderer.scene = dataclasses.replace(new_scene,
+                                                      camera=cam)
+            self.renderer.reset()
+
+    def _recompute_atmosphere(self):
+        """Re-run the Bruneton precompute with the current option set
+        and swap the LUTs in (main.cpp:1709-1732 recompute triggers)."""
+        from vpt_tpu.scene.scene import attach_atmosphere
+        from vpt_tpu.sky.runtime import make_atmosphere
+        o = self.atmo_opts
+        kw = dict(luminance_mode=o["atmo_luminance"],
+                  do_white_balance=o["atmo_white_balance"] == "on",
+                  use_ozone=o["atmo_ozone"] == "on",
+                  use_constant_solar=o["atmo_solar"] == "constant")
+        if self.atmo_dims is not None:
+            kw["dims"] = self.atmo_dims
+        t0 = time.time()
+        atm = make_atmosphere(cache_path=None, **kw)
+        log(f"atmosphere recomputed in {time.time()-t0:.1f}s ({kw})")
+        with self.lock:
+            self.renderer.scene = attach_atmosphere(self.renderer.scene,
+                                                    atmosphere=atm)
+            if getattr(self.renderer.scene, "sky_cache", None) is not None:
+                from vpt_tpu.scene.scene import attach_sky_cache
+                self.renderer.scene = attach_sky_cache(
+                    self.renderer.scene,
+                    azimuth=float(self.renderer.params.azimuth),
+                    elevation=float(self.renderer.params.elevation))
+            self.renderer.reset()
+
     def set_param(self, name, value):
-        if name == "denoise":
-            if value not in ("none", "atrous", "nn"):
-                raise KeyError(f"denoise={value}")
-            # no lock/reset: the filter runs at display time on the
-            # accum buffer (the reference's button also leaves the
-            # progressive state alone, main.cpp:1508-1520)
-            self.denoise = value
+        if name in ("denoise", "view"):
+            choices = next(s[2] for s in _STATIC_SELECTS if s[0] == name)
+            if value not in choices:
+                raise KeyError(f"{name}={value}")
+            # no lock/reset: these filter/annotate at display time on
+            # the accum buffer (the reference's OIDN button also leaves
+            # the progressive state alone, main.cpp:1508-1520)
+            setattr(self, name, value)
+            return
+        if name == "aperture":
+            self.aperture = max(float(value), 0.0)
+            self._rebuild_camera()
+            return
+        if name == "integrator":
+            from vpt_tpu.render.params import Integrator
+            code = {"direct": int(Integrator.DIRECT),
+                    "volumetric": int(Integrator.VOLUMETRIC)}[value]
+            with self.lock:
+                self.renderer.params = self.renderer.params.replace(
+                    integrator=code)
+                self.renderer.reset()
+            return
+        if name in {s[0] for s in _INT_INPUTS}:
+            lo, hi = next((s[2], s[3]) for s in _INT_INPUTS
+                          if s[0] == name)
+            iv = min(max(int(float(value)), lo), hi)
+            with self.lock:
+                self.renderer.params = self.renderer.params.replace(
+                    **{name: iv})
+                self.renderer.reset()
+            return
+        if name in ("noise_type", "noise_scale", "noise_res"):
+            if self.procedural_rebuild is None:
+                raise KeyError(f"{name}: not a procedural scene")
+            if name == "noise_type":
+                self.noise_type = min(max(int(float(value)), 0),
+                                      len(_NOISE_NAMES) - 1)
+            elif name == "noise_scale":
+                self.noise_scale = max(float(value), 1e-4)
+            else:
+                self.noise_res = min(max(int(float(value)), 8), 512)
+            self._rebuild_procedural()
+            return
+        if name in self.atmo_opts:
+            choices = next(s[2] for s in _ATMO_SELECTS if s[0] == name)
+            if value not in choices:
+                raise KeyError(f"{name}={value}")
+            if getattr(self.renderer.scene, "atmosphere", None) is None:
+                raise KeyError(f"{name}: scene has no atmosphere")
+            self.atmo_opts[name] = value
+            self._recompute_atmosphere()
             return
         if name in {s[0] for s in _STATIC_SELECTS}:
             choices = next(s[2] for s in _STATIC_SELECTS if s[0] == name)
@@ -268,7 +445,12 @@ class ViewerState:
         import numpy as np
         from PIL import Image
         with self.lock:
-            if self.denoise == "none":
+            if self.view == "dof":
+                from vpt_tpu.render.film import dof_overlay
+                img = np.asarray(dof_overlay(
+                    self.renderer.film, self.renderer.scene.camera,
+                    self.renderer.params.exposure_scale))[::-1]
+            elif self.denoise == "none":
                 img = self.renderer.display_image()[::-1]
             else:
                 from vpt_tpu.render.film import to_display
@@ -294,9 +476,12 @@ class ViewerState:
 _LAST_STATE = None  # test hook: clean shutdown of the render thread
 
 
-def serve(scene, params, host="127.0.0.1", port=8787, open_browser=False):
+def serve(scene, params, host="127.0.0.1", port=8787, open_browser=False,
+          procedural_rebuild=None, atmo_dims=None):
     global _LAST_STATE
-    state = ViewerState(scene, params)
+    state = ViewerState(scene, params,
+                        procedural_rebuild=procedural_rebuild,
+                        atmo_dims=atmo_dims)
     _LAST_STATE = state
     state.start()
 
@@ -317,7 +502,8 @@ def serve(scene, params, host="127.0.0.1", port=8787, open_browser=False):
                 page = (_PAGE.replace("__W__", str(params.width))
                         .replace("__H__", str(params.height))
                         .replace("__SLIDERS__",
-                                 _slider_html(state.renderer.params)))
+                                 _slider_html(state.renderer.params,
+                                              state)))
                 self._send(page.encode())
             elif u.path == "/frame.png":
                 self._send(state.frame_png(), "image/png")

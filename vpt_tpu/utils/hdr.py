@@ -1,7 +1,9 @@
 """Radiance .hdr (RGBE) loader — equivalent of source/hdr_loader.h.
 
 Parses the header (hdr_loader.h:52-107), new-style RLE scanlines
-(:109-191), flat scanlines, and converts RGBE to float RGB
+(:109-191), old-style RLE scanlines ((1,1,1,n) repeat markers with
+8-bit count shift escalation — canonical Radiance ``oldreadcolrs``
+semantics), flat scanlines, and converts RGBE to float RGB
 (:193-211).  Returns (H, W, 3) float32.
 """
 
@@ -53,10 +55,37 @@ def load_hdr(path: str) -> np.ndarray:
                         bp += count
                         x += count
         else:
-            # flat RGBE pixels (old format; no old-style RLE support)
-            row = buf[bp:bp + width * 4].reshape(width, 4)
-            img[y] = row
-            bp += width * 4
+            # old format: flat RGBE pixels, with (1,1,1,n) OLD-STYLE RLE
+            # repeat markers (repeat the previous pixel n << shift
+            # times; consecutive markers escalate the shift by 8 bits —
+            # Radiance oldreadcolrs).  Rows without a marker take the
+            # vectorized flat path.
+            cand = buf[bp:bp + width * 4]
+            if (cand.size == width * 4
+                    and not np.any((cand[0::4] == 1) & (cand[1::4] == 1)
+                                   & (cand[2::4] == 1))):
+                img[y] = cand.reshape(width, 4)
+                bp += width * 4
+            else:
+                x = 0
+                rshift = 0
+                while x < width:
+                    px = buf[bp:bp + 4]
+                    bp += 4
+                    if px[0] == 1 and px[1] == 1 and px[2] == 1:
+                        if x == 0 and y == 0:
+                            raise ValueError(
+                                "old-style RLE repeat with no previous "
+                                "pixel")
+                        count = int(px[3]) << rshift
+                        prev = img[y, x - 1] if x else img[y - 1, -1]
+                        img[y, x:x + count] = prev
+                        x += count
+                        rshift += 8
+                    else:
+                        img[y, x] = px
+                        x += 1
+                        rshift = 0
 
     return rgbe_to_float(img)
 

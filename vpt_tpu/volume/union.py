@@ -109,6 +109,130 @@ def resample_union_grid(host_grids, instance_grid_ids, instance_xforms,
         min_density=min(host_grids[int(g)].min_density for g in ids))
 
 
+def exact_density_at(host_grids, instance_grid_ids, instance_xforms,
+                     wpos):
+    """Exact summed instance density at world points (host-side;
+    tracking.scene_density / render_kernel.cu:1003-1014 semantics).
+    Used as ground truth by the union error estimators."""
+    from vpt_tpu.scene.scene import _world_bounds
+    ids = np.asarray(instance_grid_ids, np.int64)
+    wpos = np.asarray(wpos, np.float64)
+    total = np.zeros(len(wpos), np.float64)
+    for gid, xf in zip(ids, instance_xforms):
+        g = host_grids[int(gid)]
+        xf = np.asarray(xf, np.float64)
+        inv = np.linalg.inv(xf)
+        lo, hi = _world_bounds(g, xf)
+        # bbox pre-filter only (outside trilinear support reads 0);
+        # widen a voxel so boundary samples aren't clipped
+        pad = float(g.voxel_size) * float(np.abs(xf[:3, :3]).max()) + 1e-6
+        m = np.all((wpos >= lo - pad) & (wpos <= hi + pad), axis=1)
+        if not m.any():
+            continue
+        ipos = (wpos[m] @ inv[:3, :3] + inv[3, :3]
+                - (np.asarray(g.bbox_min, np.float64) + 0.5))
+        total[m] += _trilinear_channel(g.density_zyx, ipos)
+    return total
+
+
+def _sample_points(host_grids, instance_grid_ids, instance_xforms, n, seed):
+    """Sample world points uniformly inside random instances' world
+    boxes — error probes concentrated where the medium actually lives
+    (uniform root-box sampling wastes most probes on empty sky)."""
+    from vpt_tpu.scene.scene import _world_bounds
+    rng = np.random.RandomState(seed)
+    ids = np.asarray(instance_grid_ids, np.int64)
+    pick = rng.randint(0, len(ids), size=n)
+    pts = np.empty((n, 3), np.float64)
+    bounds = [_world_bounds(host_grids[int(g)], np.asarray(x, np.float64))
+              for g, x in zip(ids, instance_xforms)]
+    for i, k in enumerate(pick):
+        lo, hi = bounds[k]
+        pts[i] = lo + rng.rand(3) * (hi - lo)
+    return pts
+
+
+def union_field_error(union: HostGrid, host_grids, instance_grid_ids,
+                      instance_xforms, n: int = 4096, seed: int = 0):
+    """Measured union-vs-exact density error of a BUILT union grid.
+
+    Returns ``mean |union(p) - exact(p)| / mean exact(p)`` over ``n``
+    points sampled inside instance boxes — the per-run error figure the
+    bench emits next to every union-mode throughput number (VERDICT r4
+    #3: an approximation must carry its measured error wherever its
+    speed is reported).  tests/test_union.py bounds the same quantity
+    at test resolution."""
+    pts = _sample_points(host_grids, instance_grid_ids, instance_xforms,
+                         n, seed)
+    exact = exact_density_at(host_grids, instance_grid_ids,
+                             instance_xforms, pts)
+    inv = np.linalg.inv(np.asarray(union.transform, np.float64))
+    ipos = (pts @ inv[:3, :3] + inv[3, :3]
+            - (np.asarray(union.bbox_min, np.float64) + 0.5))
+    approx = _trilinear_channel(union.density_zyx, ipos)
+    denom = max(float(exact.mean()), 1e-12)
+    return float(np.abs(approx - exact).mean() / denom)
+
+
+def union_error_at_resolution(host_grids, instance_grid_ids,
+                              instance_xforms, resolution: int,
+                              n: int = 2048, seed: int = 0):
+    """Estimate the union error AT a candidate resolution WITHOUT
+    building the grid: the union's value at p is the trilinear blend of
+    exact sums at the 8 surrounding union voxel centers, so evaluating
+    those on the fly prices a resolution at O(8n) exact fetches instead
+    of a minutes-long full resample."""
+    from vpt_tpu.scene.scene import _world_bounds
+    ids = np.asarray(instance_grid_ids, np.int64)
+    pmins, pmaxs = [], []
+    for gid, xf in zip(ids, instance_xforms):
+        lo, hi = _world_bounds(host_grids[int(gid)],
+                               np.asarray(xf, np.float64))
+        pmins.append(lo)
+        pmaxs.append(hi)
+    root_pmin = np.stack(pmins).min(axis=0) - 1.0
+    root_pmax = np.stack(pmaxs).max(axis=0) + 1.0
+    cell = float((root_pmax - root_pmin).max()) / int(resolution)
+
+    pts = _sample_points(host_grids, instance_grid_ids, instance_xforms,
+                         n, seed)
+    exact = exact_density_at(host_grids, instance_grid_ids,
+                             instance_xforms, pts)
+    # voxel-center coordinates of the union grid: center i at
+    # root_pmin + (i + 0.5) * cell
+    x = (pts - root_pmin) / cell - 0.5
+    i0 = np.floor(x)
+    frac = x - i0
+    approx = np.zeros(n, np.float64)
+    for c in range(8):
+        d = np.array([c & 1, (c >> 1) & 1, (c >> 2) & 1], np.float64)
+        centers = root_pmin + (i0 + d + 0.5) * cell
+        w = np.prod(np.where(d > 0, frac, 1.0 - frac), axis=1)
+        approx += w * exact_density_at(host_grids, instance_grid_ids,
+                                       instance_xforms, centers)
+    denom = max(float(exact.mean()), 1e-12)
+    return float(np.abs(approx - exact).mean() / denom)
+
+
+def choose_union_resolution(host_grids, instance_grid_ids,
+                            instance_xforms, error_budget: float = 0.05,
+                            candidates=(160, 224, 320, 448, 640),
+                            n: int = 2048, seed: int = 0):
+    """Auto-pick the coarsest union resolution whose estimated field
+    error fits ``error_budget`` (VERDICT r4 #3).  Returns
+    (resolution, estimated_error); falls back to the finest candidate
+    when none fits (callers should surface the returned error either
+    way)."""
+    err = float("inf")
+    for res in candidates:
+        err = union_error_at_resolution(host_grids, instance_grid_ids,
+                                        instance_xforms, res, n=n,
+                                        seed=seed)
+        if err <= error_budget:
+            return int(res), err
+    return int(candidates[-1]), err
+
+
 def build_union_scene(host_grids, instance_grid_ids, instance_xforms,
                       resolution: int = 256,
                       corner_dtype: str = "bfloat16",
