@@ -374,3 +374,81 @@ def test_pruned_shards_remap_unique_grids():
     assert np.isfinite(a).all() and a.mean() > 0
     assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-9) < 0.25, (
         a.mean(), b.mean())
+
+
+def test_grid_sharded_cached_shadows():
+    """Lifted v1 exclusion (VERDICT r4 #7): per-shard cached tau bakes.
+    Each slab bakes optical depths against its LOCAL density; the
+    cached per-shard E[Tr] factors multiply across the mesh (the same
+    factorization as transmittance_sharded), so the cached render
+    agrees in expectation with the tracked sharded render."""
+    from tests.golden_scenes import _blob
+    from vpt_tpu.parallel.instance_shard import build_grid_sharded_scene
+
+    g = _blob(n=24)
+    lights = PointLights.make([[4.0, 6.0, 8.0]], [[1.0, 1.0, 1.0]], [200.0])
+    kw = dict(lights=lights, majorant_resolution=32)
+    combined = build_scene([g], **kw)
+    cam = _camera_for(combined)
+
+    stacked = build_grid_sharded_scene(g, N_SHARDS, camera=cam,
+                                       shadow_cache=(150.0, 30.0), **kw)
+    # per-shard corner rows carry 1 sun + 1 light tau channel beyond
+    # the 15 density/accel cols (tau_base computed on a LOCAL slice —
+    # the stacked atlas' stacked placeholder leaves fake has_emission)
+    assert stacked.atlas.density_corners.shape[-1] == 15 + 8 * 2
+
+    mesh = make_inst_mesh(N_SHARDS)
+    p_tracked = _params(environment_type=int(Environment.CONSTANT))
+    p_cached = p_tracked.replace(shadow_mode="cached")
+    film_c = render_instance_sharded(shard_scene(stacked, mesh), p_cached,
+                                     spp=8, mesh=mesh)
+    film_t = render_instance_sharded(shard_scene(stacked, mesh), p_tracked,
+                                     spp=8, mesh=mesh)
+    a = np.asarray(film_c.accum)
+    b = np.asarray(film_t.accum)
+    assert np.isfinite(a).all() and a.mean() > 0
+    assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-9) < 0.25, (
+        a.mean(), b.mean())
+
+    # requesting cached without a bake is a clear error
+    stacked_nb = build_grid_sharded_scene(g, N_SHARDS, camera=cam, **kw)
+    with pytest.raises(ValueError, match="tau cache"):
+        render_instance_sharded(shard_scene(stacked_nb, mesh), p_cached,
+                                spp=1, mesh=mesh)
+
+
+def test_instance_sharded_atmosphere_env():
+    """Lifted v1 exclusion (VERDICT r4 #7): ATMOSPHERE environments on
+    the ('inst',) mesh — the LUT set rides every shard as a replicated
+    leaf and the sharded render agrees with the single-device
+    reference engine on the combined scene."""
+    from vpt_tpu.scene.scene import attach_atmosphere
+    from vpt_tpu.sky.bruneton import LutDims
+    from vpt_tpu.sky.runtime import make_atmosphere
+
+    tiny = LutDims(transmittance_w=16, transmittance_h=8, r=4, mu=8,
+                   mu_s=4, nu=2, irradiance_w=8, irradiance_h=4)
+    atm = make_atmosphere(dims=tiny)
+    lights = PointLights.make([[4.0, 6.0, 8.0]], [[1.0, 1.0, 1.0]], [200.0])
+    kw = dict(lights=lights, majorant_resolution=32)
+    combined, _ = _combined_and_stacked(**kw)
+    cam = _camera_for(combined)
+    combined = dataclasses.replace(
+        attach_atmosphere(combined, atmosphere=atm), camera=cam)
+    grids, ids, xforms = _layout(8)
+    stacked = build_instance_sharded_scene(grids, ids, xforms, N_SHARDS,
+                                           camera=cam, atmosphere=atm,
+                                           **kw)
+    p = _params(environment_type=int(Environment.ATMOSPHERE))
+    mesh = make_inst_mesh(N_SHARDS)
+    film_sh = render_instance_sharded(shard_scene(stacked, mesh), p,
+                                      spp=6, mesh=mesh)
+    from vpt_tpu.render.renderer import ProgressiveRenderer
+    film_1 = ProgressiveRenderer(
+        combined, p.replace(engine="reference")).render(6)
+    a = np.asarray(film_sh.accum)
+    b = np.asarray(film_1.accum)
+    assert np.isfinite(a).all() and a.mean() > 0
+    assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-9) < 0.25, (
+        a.mean(), b.mean())

@@ -101,9 +101,9 @@ def build_parser():
                    help="beyond-HBM: shard the scene itself over an "
                         "('inst',) mesh of N devices (.ins partitions "
                         "the instance list; .vdb/procedural splits the "
-                        "grid into exact-sum spatial slabs). v1 scope: "
-                        "tracked shadows, non-atmosphere environments "
-                        "(docs/SCALING.md)")
+                        "grid into exact-sum spatial slabs); composes "
+                        "with cached shadows and atmosphere "
+                        "environments (docs/SCALING.md)")
     r.add_argument("--save-exr", action="store_true",
                    help="also save raw radiance as EXR next to output")
     r.add_argument("--aov",
@@ -123,10 +123,16 @@ def build_parser():
                    help="CIE white balance (with --atmosphere)")
     r.add_argument("--atmosphere-cache", default="out/atmosphere_luts.npz",
                    help="npz LUT cache path (with --atmosphere)")
-    r.add_argument("--bake-sky", action="store_true",
+    r.add_argument("--bake-sky", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="bake the atmosphere to an equirect cache "
-                        "(one-fetch terminal lookups, ~4.6x on "
-                        "atmosphere scenes; re-baked per sun position)")
+                        "(one-fetch terminal lookups, ~1.6x on "
+                        "atmosphere scenes; directional — re-baked per "
+                        "sun position).  DEFAULT ON (VERDICT r4 #8): "
+                        "equirect-resample error is bounded by "
+                        "tests/test_bruneton.py::test_sky_cache_matches_"
+                        "direct; --no-bake-sky restores the full per-ray "
+                        "LUT evaluation")
 
     e = sub.add_parser("earth", help="planetary render from orbit — the "
                        "reference's render_earth debug integrator "
@@ -216,8 +222,8 @@ def _render_inst_sharded(args, lights):
     devices jointly track the union medium exactly (docs/SCALING.md,
     parallel/instance_shard.py).  .ins partitions the instance list;
     .vdb / 'procedural' split the single grid into exact-sum spatial
-    slabs.  v1 scope: tracked shadows, black/constant/hdri
-    environments."""
+    slabs.  Composes with cached shadows (per-shard tau bakes,
+    product-exact) and atmosphere environments (replicated LUTs)."""
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -235,16 +241,26 @@ def _render_inst_sharded(args, lights):
     if n > jax.device_count():
         raise SystemExit(f"--inst-shards {n}: only {jax.device_count()} "
                          f"devices visible")
-    if args.atmosphere:
-        raise SystemExit("--inst-shards v1 does not support --atmosphere")
-    if getattr(args, "shadow_mode", "tracked") == "cached":
-        raise SystemExit("--inst-shards v1 supports tracked shadows only")
     env_name = args.env_type or ("hdri" if args.env else "constant")
-    if env_name == "atmosphere":
-        raise SystemExit("--inst-shards v1: use --env-type "
-                         "black/constant/hdri")
     env_type = dict(hdri=Environment.HDRI, black=Environment.BLACK,
-                    constant=Environment.CONSTANT)[env_name]
+                    constant=Environment.CONSTANT,
+                    atmosphere=Environment.ATMOSPHERE)[env_name]
+
+    shard_kw = {}
+    if getattr(args, "shadow_mode", "tracked") == "cached":
+        # per-shard tau bakes against the LOCAL subset; the cached
+        # factors multiply to the exact union E[Tr]
+        # (parallel.instance_shard.attach_sharded_caches)
+        shard_kw["shadow_cache"] = (args.azimuth, args.elevation)
+    if args.atmosphere or env_name == "atmosphere":
+        from vpt_tpu.sky.runtime import make_atmosphere
+        import os as _os
+        _os.makedirs(_os.path.dirname(args.atmosphere_cache) or ".",
+                     exist_ok=True)
+        shard_kw["atmosphere"] = make_atmosphere(
+            cache_path=args.atmosphere_cache,
+            luminance_mode=args.luminance,
+            do_white_balance=args.white_balance)
 
     build_kw = dict(lights=lights)
     if args.env:
@@ -288,13 +304,14 @@ def _render_inst_sharded(args, lights):
     build_kw["camera"] = cam
 
     if len(ids) == 1:
-        stack = build_grid_sharded_scene(host_grids[ids[0]], n, **build_kw)
+        stack = build_grid_sharded_scene(host_grids[ids[0]], n,
+                                        **shard_kw, **build_kw)
     else:
         if len(ids) % n:
             raise SystemExit(f"--inst-shards: {len(ids)} instances not "
                              f"divisible by {n}")
         stack = build_instance_sharded_scene(host_grids, ids, xforms, n,
-                                             **build_kw)
+                                             **shard_kw, **build_kw)
     log(f"sharded scene built in {time.time()-t0:.1f}s "
         f"({len(ids)} instance(s) over {n} shards)")
 

@@ -44,11 +44,13 @@ mesh shapes).
 
 Scope (validated in tests/test_instance_shard.py on the 8-virtual-
 device CPU mesh): volume transport + sun/point-light NEE + emission
-(union-rate walk, estimate_emission_sharded) + environment terminal,
-mirroring render/integrator.py's reference estimator.  The debug
-sphere is not wired (instanced production scenes never use it); the
-emission/color channels must be present on ALL shards or NONE (the
-builder raises on mixed subsets).
+(union-rate walk, estimate_emission_sharded) + environment terminal
+(incl. ATMOSPHERE via per-shard replicated LUTs) + per-shard CACHED
+shadows (attach_sharded_caches / _cached_nee_sharded — the round-5
+lift of the v1 exclusions), mirroring render/integrator.py's
+reference estimator.  The debug sphere is not wired (instanced
+production scenes never use it); the emission/color channels must be
+present on ALL shards or NONE (the builder raises on mixed subsets).
 """
 
 from __future__ import annotations
@@ -143,8 +145,47 @@ def _pad_cell_lists(scenes):
     return out
 
 
+def attach_sharded_caches(scenes, shadow_cache=None, atmosphere=None):
+    """Per-shard attachments lifted from the v1 exclusions (VERDICT r4
+    #7), applied to the LIST of sub-scenes before stacking:
+
+    * ``shadow_cache=(azimuth, elevation)`` bakes each shard's cached
+      optical-depth fields against its LOCAL instance subset
+      (accel.shadow.attach_shadow_cache).  Optical depth adds over
+      subsets, so the cached per-shard factors multiply to the exact
+      union E[Tr] the tracked product walk estimates
+      (transmittance_sharded's factorization argument verbatim);
+      render with ``shadow_mode="cached"``.
+    * ``atmosphere`` attaches the SAME Atmosphere LUT set to every
+      shard (a shard-invariant replicated leaf, like the camera) so
+      ATMOSPHERE environments work on the ('inst',) mesh.
+    """
+    import dataclasses
+
+    if shadow_cache is not None:
+        az, el = shadow_cache
+        from vpt_tpu.accel.shadow import attach_shadow_cache
+        scenes = [attach_shadow_cache(s, azimuth=az, elevation=el)
+                  for s in scenes]
+        wt_shapes = {None if s.world_tau is None else s.world_tau.shape
+                     for s in scenes}
+        if len(wt_shapes) > 1 or (wt_shapes != {None} and any(
+                s.world_tau is None for s in scenes)):
+            raise ValueError(
+                "per-shard world-tau grids have mismatched shapes "
+                f"({wt_shapes}): zero-padding them would fake empty "
+                "shadows.  Use shards above the cell-list threshold "
+                "(taus fold into the majorant cell rows) or "
+                "single-grid slabs (taus ride the corner rows)")
+    if atmosphere is not None:
+        scenes = [dataclasses.replace(s, atmosphere=atmosphere)
+                  for s in scenes]
+    return scenes
+
+
 def build_instance_sharded_scene(host_grids, instance_grid_ids,
                                  instance_xforms, n_shards: int,
+                                 shadow_cache=None, atmosphere=None,
                                  **build_kw):
     """Build one sub-scene per shard (contiguous even partition of the
     instance list) and stack the pytrees with a leading 'inst' axis.
@@ -187,6 +228,8 @@ def build_instance_sharded_scene(host_grids, instance_grid_ids,
     if subs[0].majorant is not None and \
             subs[0].majorant.cell_instances is not None:
         subs = _pad_cell_lists(subs)
+    subs = attach_sharded_caches(subs, shadow_cache=shadow_cache,
+                                 atmosphere=atmosphere)
     return jax.tree.map(_stack_padded, *subs)
 
 
@@ -206,7 +249,9 @@ def _stack_padded(*xs):
 
 
 def build_grid_sharded_scene(host_grid, n_shards: int,
-                             axis: int | None = None, **build_kw):
+                             axis: int | None = None,
+                             shadow_cache=None, atmosphere=None,
+                             **build_kw):
     """Beyond-HBM path for ONE monolithic grid: split it spatially
     into ``n_shards`` exact-sum parts (volume.grid.split_host_grid)
     and give each shard of the ('inst',) mesh one part — per-device
@@ -219,7 +264,8 @@ def build_grid_sharded_scene(host_grid, n_shards: int,
     parts = split_host_grid(host_grid, n_shards, axis=axis)
     return build_instance_sharded_scene(
         parts, list(range(n_shards)), [p.transform for p in parts],
-        n_shards, **build_kw)
+        n_shards, shadow_cache=shadow_cache, atmosphere=atmosphere,
+        **build_kw)
 
 
 def shard_scene(scene_stack, mesh: Mesh):
@@ -354,6 +400,97 @@ def transmittance_sharded(scene, params, key, pos, direction,
     return jnp.exp(jax.lax.psum(log_tr, axis))
 
 
+def _shard_has_tau(scene) -> bool:
+    """Static: does this (local) sub-scene carry a baked tau cache?"""
+    from vpt_tpu.accel.shadow import _tau_base
+    from vpt_tpu.render.tracking import _use_cells
+    if scene.world_tau is not None:
+        return True
+    if scene.instances.count == 1 and not _use_cells(scene):
+        return scene.atlas.density_corners.shape[-1] > _tau_base(
+            scene.atlas)
+    m = scene.majorant
+    if m is not None and m.cell_rows is not None \
+            and m.cell_instances is not None:
+        base = m.packed.shape[-1] + m.cell_instances.shape[-1]
+        return m.cell_rows.shape[-1] > base
+    return False
+
+
+def _fetch_tau_point(scene, params, pos, w):
+    """(..., 1+L) cached optical depths at ``pos`` from whichever tau
+    storage this shard carries (corner rows / cell rows / world grid).
+    One row gather per medium event — replacing 1+L tracked walks."""
+    from vpt_tpu.render.tracking import _use_cells
+    if scene.world_tau is not None:
+        from vpt_tpu.accel.shadow import world_tau_fetch
+        return world_tau_fetch(scene, pos)
+    if scene.instances.count == 1 and not _use_cells(scene):
+        _, _, tau = unified_fetch(scene, params, pos, w, with_tau=True)
+        return tau
+    from vpt_tpu.accel.shadow import cell_tau_fetch
+    return cell_tau_fetch(scene, pos)
+
+
+def _cached_tr_sharded(scene, params, pos, w, tau_c, axis: str = AXIS):
+    """E[Tr] through the union medium from per-shard cached optical
+    depths: each shard evaluates the cached expectation of ITS tracked
+    residual-ratio walk (fused.cached_tr semantics against the LOCAL
+    root box), and independence makes the cross-shard product exact —
+    the same factorization transmittance_sharded uses, minus the
+    variance."""
+    _, _, d = aabb_intersect(scene.root_pmin, scene.root_pmax, pos, w)
+    d = jnp.maximum(d, 0.0)
+    sigma_c = scene.min_extinction
+    tr = jnp.exp(-sigma_c * d - (tau_c - sigma_c * d) / params.tr_depth)
+    tr = jnp.clip(tr, 0.0, 1.0)
+    return jnp.exp(jax.lax.psum(
+        jnp.log(jnp.maximum(tr, 1e-37)), axis))
+
+
+def _cached_nee_sharded(scene, params, pos, direction, axis: str = AXIS):
+    """Whole NEE (sun + every point light) from the per-shard tau
+    caches — zero walk iterations (the sharded analog of the fused
+    engine's cached branch, fused.py:556-580: the random light budget
+    becomes the explicit n_walks/L-weighted sum, a pure variance
+    reduction with identical expectation)."""
+    from vpt_tpu.core.phase import phase_eval
+    from vpt_tpu.core.vecmath import degree_to_cartesian, length, normalize
+    from vpt_tpu.render.nee import LIGHT_BUDGET
+
+    sun_dir = degree_to_cartesian(params.azimuth, params.elevation)
+    taus = _fetch_tau_point(scene, params, pos,
+                            jnp.broadcast_to(sun_dir, pos.shape))
+    n_lights = int(scene.lights.count)
+    n_ch = taus.shape[-1]
+    if n_ch != 1 + n_lights:
+        raise ValueError(f"shard tau cache has {n_ch - 1} light channels "
+                         f"but the scene has {n_lights} point lights — "
+                         "re-bake with shadow_cache=(az, el)")
+    cos_sun = jnp.sum(direction * sun_dir, axis=-1)
+    tr_sun = _cached_tr_sharded(scene, params, pos,
+                                jnp.broadcast_to(sun_dir, pos.shape),
+                                taus[..., 0], axis)
+    nee = (vec3_param(params.sun_color) * params.sun_mult
+           * (phase_eval(params, cos_sun) * tr_sun)[..., None])
+    pt_w = min(n_lights, LIGHT_BUDGET) / max(n_lights, 1)
+    for i in range(n_lights):
+        lp = scene.lights.pos[i]
+        wi = normalize(lp - pos)
+        cos_pt = jnp.sum(direction * wi, axis=-1)
+        if params.reference_falloff:  # QUIRKS #2
+            sqr = length(lp * lp - pos * pos)
+        else:
+            sqr = jnp.sum((lp - pos) ** 2, axis=-1)
+        falloff = 1.0 / jnp.maximum(sqr, 1e-12)
+        tr_i = _cached_tr_sharded(scene, params, pos, wi,
+                                  taus[..., 1 + i], axis)
+        nee = nee + scene.lights.color[i] * (
+            scene.lights.power[i] * phase_eval(params, cos_pt)
+            * falloff * tr_i * pt_w)[..., None]
+    return nee
+
+
 def estimate_emission_sharded(scene, params, key, pos, direction, active,
                               axis: str = AXIS):
     """Rate-weighted emission line integral through the union medium:
@@ -388,6 +525,14 @@ def _trace_instance_sharded(scene, params, key, origin, direction,
     B = origin.shape[0]
     gmin = jax.lax.pmin(scene.root_pmin, axis)
     gmax = jax.lax.pmax(scene.root_pmax, axis)
+    # STATIC switch (like fused.py's cached_shadows): per-shard baked
+    # tau caches replace every NEE shadow walk with one row gather +
+    # a psum'd log product
+    cached = params.shadow_mode == "cached" and _shard_has_tau(scene)
+    if params.shadow_mode == "cached" and not cached:
+        raise ValueError("shadow_mode='cached' but the shards carry no "
+                         "tau cache — build with shadow_cache=(azimuth, "
+                         "elevation) (attach_sharded_caches)")
 
     def tr_fn(s, p, k, x, w):
         return transmittance_sharded(s, p, k, x, w, axis)
@@ -421,14 +566,18 @@ def _trace_instance_sharded(scene, params, key, origin, direction,
         d_mi = jnp.linalg.norm(origin - pos, axis=-1)
         depth_aov = jnp.where(first & mi, d_mi, depth_aov)
 
-        sun = estimate_sun(scene, params, jax.random.fold_in(kd, 2), pos,
-                           dirn, tr_fn=tr_fn)
-        L = L + jnp.where(mi[..., None], sun * beta, 0.0)
-        if scene.lights.count > 0:
-            pl = estimate_point_lights(scene, params,
-                                       jax.random.fold_in(kd, 3), pos, dirn,
-                                       tr_fn=tr_fn)
-            L = L + jnp.where(mi[..., None], pl * beta, 0.0)
+        if cached:
+            nee = _cached_nee_sharded(scene, params, pos, dirn, axis)
+            L = L + jnp.where(mi[..., None], nee * beta, 0.0)
+        else:
+            sun = estimate_sun(scene, params, jax.random.fold_in(kd, 2),
+                               pos, dirn, tr_fn=tr_fn)
+            L = L + jnp.where(mi[..., None], sun * beta, 0.0)
+            if scene.lights.count > 0:
+                pl = estimate_point_lights(scene, params,
+                                           jax.random.fold_in(kd, 3), pos,
+                                           dirn, tr_fn=tr_fn)
+                L = L + jnp.where(mi[..., None], pl * beta, 0.0)
         if scene.atlas.has_emission:
             em = estimate_emission_sharded(scene, params,
                                            jax.random.fold_in(kd, 4), pos,
