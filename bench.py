@@ -92,7 +92,8 @@ _CACHE_DIR = os.environ.get("BENCH_SCENE_CACHE",
 _CACHE_SRC = ("vpt_tpu/volume/grid.py", "vpt_tpu/volume/union.py",
               "vpt_tpu/volume/vdb.py", "vpt_tpu/volume/procedural.py",
               "vpt_tpu/scene/scene.py", "vpt_tpu/accel/majorant.py",
-              "vpt_tpu/accel/shadow.py", "native/vdb_codec.cpp")
+              "vpt_tpu/accel/shadow.py", "vpt_tpu/lights/lights.py",
+              "native/vdb_codec.cpp")
 _CACHE_TAG = None
 
 
@@ -523,7 +524,12 @@ def main():
           cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "out", "atmo_bench_cache.npz")
           os.makedirs(os.path.dirname(cache), exist_ok=True)
-          scene = build_scene([blob()])
+          # octant boxes ON for the blob scenes: the round-5 phase probe
+          # read 77% jump-merged / 37% chained empty hops on the puff
+          # (3.24 -> 2.59 iters/ray measured on TPU); auto stays off
+          # only because dragon.vdb measured break-even
+          scene = build_scene([blob()], octant_boxes=True,
+                              corner_dtype="bfloat16")
           scene = attach_atmosphere(scene, cache_path=cache, dims=half)
           scene = aim_camera(scene, W, H, offset=(0.0, 0.5, 9.0))
           params = RenderParams(environment_type=int(Environment.ATMOSPHERE),
@@ -544,14 +550,21 @@ def main():
     # ---- config 2: emission + blackbody LUT (fireball analog) ----------
     if want("config2_fireball"):
       with guard("config2_fireball"):
-          scene = build_scene([blob(emission=True)])
+          # bf16 corner rows: the round-5 width finding (ARCHITECTURE
+          # "round-5 amendment") — halving row bytes measured 1.43x on
+          # this scene's wide emission+tau rows
+          scene = build_scene([blob(emission=True)], octant_boxes=True,
+                              corner_dtype="bfloat16")
           scene = aim_camera(scene, W, H, offset=(0.0, 1.0, 9.0))
           params = RenderParams(environment_type=int(Environment.BLACK),
                                 emission_scale=2.0, emission_pivot=1.0,
                                 **base_kw)
           results["config2_fireball"] = entry(
               *measure(scene, params, "config2_fireball"))
-          if use_cached and EXTRA:
+          if use_cached:
+              # promoted from EXTRA (VERDICT r4 #5): with octant boxes
+              # + the one-hot emission LUT the cached mode carries the
+              # config-2 headline
               results["config2_fireball_cached"] = measure_cached(
                   scene, params, "config2_fireball_cached")
 
@@ -565,7 +578,8 @@ def main():
                  + np.array([0.9, 0.6, 0.3], np.float32) * (1 - ty))
           env = np.broadcast_to(env, (eh, ew, 3)).copy()
           env[eh // 4, ew // 3] = [60.0, 55.0, 45.0]  # bright "sun" texel
-          scene = build_scene([blob(color=True)])
+          scene = build_scene([blob(color=True)], octant_boxes=True,
+                              corner_dtype="bfloat16")
           scene = attach_env_map(scene, env)
           c = (np.asarray(scene.root_pmin) + np.asarray(scene.root_pmax)) / 2
           cam = Camera.make(c + np.array([0.0, 1.0, 9.0]), c, vfov=40.0,
@@ -720,26 +734,45 @@ def main():
                                     [float(half * half * 8.0)])
 
           def _build_bigvol():
+              import dataclasses as _dc
+
+              import jax.numpy as _jnp
+
+              from vpt_tpu.accel.shadow import attach_shadow_cache
               grid = create_procedural_grid(
                   vmin=(-half,) * 3, vmax=(half,) * 3, res=1.0,
                   noise_type=NOISE_FBM_PERLIN, scale=0.012, seed=5,
                   chunk_z=64)
-              return build_scene([grid], lights=lights,
-                                 keep_raw_density=False,
-                                 corner_dtype="bfloat16")
+              s = build_scene([grid], lights=lights,
+                              corner_dtype="bfloat16")
+              # bake the cached sun+light taus AT BUILD TIME (needs the
+              # raw density; round-5 phase probe: SHADOW walks were 86%
+              # of all bigvol steps — the single dominant cost), then
+              # drop the raw copy the way keep_raw_density=False would
+              s = attach_shadow_cache(s, azimuth=150.0, elevation=30.0)
+              return _dc.replace(
+                  s, atlas=_dc.replace(s.atlas,
+                                       density=_jnp.zeros(1, _jnp.float32)))
 
-          scene = aim_camera(cached_scene(f"bigvol-{n}", _build_bigvol),
+          scene = aim_camera(cached_scene(f"bigvolc-{n}", _build_bigvol),
                              W, H, dist_scale=half / 3.5)
           dc = scene.atlas.density_corners
           corner_bytes = dc.size * dc.dtype.itemsize
           _log(f"# [bigvol_512] {n}^3 voxels, corner table "
-               f"{corner_bytes/2**30:.2f} GiB (bfloat16)")
+               f"{corner_bytes/2**30:.2f} GiB (bfloat16, incl. cached "
+               "taus)")
           params = RenderParams(environment_type=int(Environment.BLACK),
                                 density_mult=0.04, **base_kw)
           results["bigvol_512"] = entry(
-              *measure(scene, params, "bigvol_512"),
+              *measure(scene, params.replace(shadow_mode="cached"),
+                       "bigvol_512"),
               grid_n=n, corner_gib=round(corner_bytes / 2**30, 2),
-              corner_dtype="bfloat16")
+              corner_dtype="bfloat16", shadow_mode="cached",
+              tau_downsample=2)
+          if EXTRA:
+              results["bigvol_512_tracked"] = entry(
+                  *measure(scene, params, "bigvol_512_tracked"),
+                  grid_n=n, corner_dtype="bfloat16")
 
     emit()
 

@@ -331,3 +331,35 @@ def test_world_shadow_cache_below_cell_threshold():
     assert np.isfinite(b).all()
     assert a.mean() > 0
     assert abs(b.mean() - a.mean()) / a.mean() < 0.12, (a.mean(), b.mean())
+
+
+def test_tau_downsample_error():
+    """tau_downsample=2 (the production-size bake proxy): optical depth
+    from the 2x average-pooled density upsampled to the full node grid
+    stays close to the full-res bake — pooling nearly commutes with the
+    line integral; residual is a ~2-voxel blur of shadow boundaries."""
+    import dataclasses
+
+    from tests.golden_scenes import _blob
+    from vpt_tpu.accel.shadow import _tau_base, attach_shadow_cache
+    from vpt_tpu.lights.lights import PointLights
+    from vpt_tpu.scene.scene import build_scene
+
+    lights = PointLights.make([[6.0, 7.0, 8.0]], [[1.0, 1.0, 1.0]], [100.0])
+    scene = build_scene([_blob(n=40)], lights=lights)
+    full = attach_shadow_cache(scene, azimuth=150.0, elevation=30.0,
+                               tau_downsample=1)
+    half = attach_shadow_cache(scene, azimuth=150.0, elevation=30.0,
+                               tau_downsample=2)
+    base = _tau_base(scene.atlas)
+    a = np.asarray(full.atlas.density_corners)[:, base:]
+    b = np.asarray(half.atlas.density_corners)[:, base:]
+    assert a.shape == b.shape and a.shape[1] == 16  # sun + 1 light
+    denom = max(float(np.abs(a).mean()), 1e-9)
+    rel = float(np.abs(a - b).mean()) / denom
+    assert rel < 0.08, rel
+    # and the cached transmittances they imply stay close where it
+    # matters (occupied voxels): compare exp(-tau)
+    ta = np.exp(-a.astype(np.float64))
+    tb = np.exp(-b.astype(np.float64))
+    assert float(np.abs(ta - tb).mean()) < 0.03

@@ -262,9 +262,34 @@ def n_cached_lights(atlas) -> int:
     return (w - base) // 8 - 1
 
 
+def _downsample2(a: np.ndarray) -> np.ndarray:
+    """2x average-pool (edge-padded to even dims): the tau-bake proxy
+    density for production-size grids."""
+    nz, ny, nx = a.shape
+    pz, py, px = nz % 2, ny % 2, nx % 2
+    if pz or py or px:
+        a = np.pad(a, ((0, pz), (0, py), (0, px)), mode="edge")
+    return a.reshape(a.shape[0] // 2, 2, a.shape[1] // 2, 2,
+                     a.shape[2] // 2, 2).mean(axis=(1, 3, 5))
+
+
+def _upsample_tau(field: np.ndarray, shape, s: float) -> np.ndarray:
+    """Trilinear upsample of an s-x pooled voxel-center field back to
+    the full-res voxel centers: pooled voxel k covers full voxels
+    s*k .. s*k+s-1, so full center j maps to pooled coordinate
+    (j - (s-1)/2) / s."""
+    nz, ny, nx = shape
+    zz, yy, xx = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
+                             indexing="ij")
+    ipos = (np.stack([xx, yy, zz], axis=-1).astype(np.float64)
+            - (s - 1.0) / 2.0) / s
+    return _trilinear_index(field, ipos)
+
+
 def attach_shadow_cache(scene, azimuth: float, elevation: float,
                         step_vox: float = 0.5,
-                        world_resolution: int = 192):
+                        world_resolution: int = 192,
+                        tau_downsample: int | None = None):
     """Bake sun + point-light optical-depth fields.
 
     Single-instance scenes bake the taus into the unified corner rows
@@ -282,6 +307,15 @@ def attach_shadow_cache(scene, azimuth: float, elevation: float,
     Render with ``RenderParams(shadow_mode="cached", azimuth=...,
     elevation=...)`` (the angles MUST match — the bake is directional).
     Re-call after moving the sun or the lights.
+
+    ``tau_downsample``: bake the tau fields on a 2x/4x average-pooled
+    proxy density and trilinearly upsample back to the full node grid
+    (production-size single grids — the full-res sweep at 512^3 costs
+    host-hours where the pooled one costs ~a minute).  Optical depth
+    is an integral of the density, so pooling mostly commutes with the
+    sweep; the residual error is a ~k-voxel blur of shadow boundaries
+    (bounded in tests/test_shadow.py::test_tau_downsample_error).
+    Default None = auto: 1 below 32M voxels, 2 at/above.
     """
     from vpt_tpu.core.vecmath import degree_to_cartesian
     from vpt_tpu.volume.grid import _corner_pack_plain
@@ -297,7 +331,20 @@ def attach_shadow_cache(scene, azimuth: float, elevation: float,
     atlas = scene.atlas
     dim = np.asarray(atlas.dim)[0]          # nx, ny, nz
     nx, ny, nz = int(dim[0]), int(dim[1]), int(dim[2])
+    if atlas.density.shape[0] < nx * ny * nz:
+        raise ValueError("shadow cache bake needs the raw density atlas "
+                         "(build_scene(keep_raw_density=True)); bake "
+                         "before dropping it")
     dens = np.asarray(atlas.density[:nx * ny * nz]).reshape(nz, ny, nx)
+    if tau_downsample is None:
+        tau_downsample = 2 if dens.size >= 32 * 2 ** 20 else 1
+    ds = max(int(tau_downsample), 1)
+    big = ds > 1
+    dens_p = dens
+    vox_scale = 1.0
+    while vox_scale * 2 <= ds:
+        dens_p = _downsample2(dens_p)
+        vox_scale *= 2.0
 
     xform = np.asarray(scene.instances.xform[0], np.float64)
     inv = np.asarray(scene.instances.inv_xform[0], np.float64)
@@ -305,14 +352,36 @@ def attach_shadow_cache(scene, azimuth: float, elevation: float,
 
     sun_dir = np.asarray(degree_to_cartesian(azimuth, elevation), np.float64)
     dir_idx = sun_dir @ inv[:3, :3]
-    world_per_idx = 1.0 / max(np.linalg.norm(dir_idx), 1e-12)
-    tau_sun = directional_tau_nodes(dens, dir_idx, world_per_idx,
+    world_per_idx = vox_scale / max(np.linalg.norm(dir_idx), 1e-12)
+    tau_sun = directional_tau_nodes(dens_p, dir_idx, world_per_idx,
                                     step_vox=step_vox)
+    if vox_scale > 1.0:
+        tau_sun = _upsample_tau(tau_sun, (nz, ny, nx), vox_scale)
     channels = [_corner_pack_plain(tau_sun)]
 
+    # proxy-grid transform: pooled voxel k covers full voxels
+    # s*k..s*k+s-1, center at full index-coordinate bmin + s*k + s/2 —
+    # exactly (bmin/s + k + 0.5) @ (s*A) + t, so the proxy transform
+    # scales the linear part by s, keeps the translation, and divides
+    # bbox_min by s (point_tau_nodes' node convention then lands every
+    # proxy node on its true world position)
+    xform_p = xform.copy()
+    if vox_scale > 1.0:
+        xform_p[:3, :3] = xform[:3, :3] * vox_scale
+    bmin_p = np.asarray(bmin, np.float64) / vox_scale if vox_scale > 1.0 \
+        else bmin
+
     lpos = np.asarray(scene.lights.pos, np.float64)
+    pt_kw = {}
+    if big:
+        # production-size grids: coarser spherical resample (the tau
+        # field is smooth; full 180x360 half-voxel sampling costs
+        # host-hours at this size)
+        pt_kw = dict(n_theta=120, n_phi=240)
     for i in range(n_lights):
-        tau_l = point_tau_nodes(dens, xform, bmin, lpos[i])
+        tau_l = point_tau_nodes(dens_p, xform_p, bmin_p, lpos[i], **pt_kw)
+        if vox_scale > 1.0:
+            tau_l = _upsample_tau(tau_l, (nz, ny, nx), vox_scale)
         channels.append(_corner_pack_plain(tau_l))
 
     dtype = np.asarray(atlas.density_corners).dtype

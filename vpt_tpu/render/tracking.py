@@ -244,10 +244,17 @@ def scene_density(scene, pos):
 
 def _emission_lut(scene, params, raw, valid):
     """Emission index -> blackbody LUT (render_kernel.cu:963-966,
-    QUIRKS #15: int() truncation)."""
+    QUIRKS #15: int() truncation).
+
+    256-entry table: one-hot on the MXU, NOT jnp.take — an in-loop
+    take serializes per lane (~8 ns each), and this runs EVERY fused
+    iteration on emissive scenes.  Found round 5: the take made
+    config-2 steps ~2x the cost of config-1's (34.8 vs 18.3
+    ns/lane-iter) — the same fix density_color_lut got in round 2."""
     idx = jnp.clip(raw * 255.0 / params.emission_pivot, 0.0, 255.0)
     idx = idx.astype(jnp.int32)
-    rgb = jnp.take(scene.emission_lut, idx, axis=0)
+    oh = jax.nn.one_hot(idx, 256, dtype=jnp.float32)
+    rgb = oh @ scene.emission_lut
     return jnp.where(valid[..., None], rgb * params.emission_scale, 0.0)
 
 
