@@ -652,11 +652,18 @@ def main():
           ids, xforms = cloud_xforms(n_inst)
           # octant boxes ON for the union cloudscape (1.44x measured,
           # tools/probe_union_oct.py) at ~6x the corner-table bytes
+          def _build_union():
+              # taus baked IN the cached build: the in-driver
+              # attach_shadow_cache bake measured 230 s at 320^3 —
+              # unaffordable under the driver deadline.  Tracked mode
+              # ignores the extra 8 bf16 tau cols (16 B/row).
+              from vpt_tpu.accel.shadow import attach_shadow_cache
+              u = build_union_scene([cloud], ids, xforms, resolution=320,
+                                    octant_boxes=True)
+              return attach_shadow_cache(u, azimuth=150.0, elevation=30.0)
+
           uscene = aim_cloud(cached_scene(
-              f"c5union320oct-{n_inst}",
-              lambda: build_union_scene([cloud], ids, xforms,
-                                        resolution=320,
-                                        octant_boxes=True)))
+              f"c5union320octc-{n_inst}", _build_union))
           # measured per-run approximation error (VERDICT r4 #3): the
           # union's speed never travels without its error figure.
           # Documented bound: <= 0.05 relative field error
@@ -677,9 +684,11 @@ def main():
               # on the union (single-instance) path the sun taus ride
               # the corner row — cached NEE costs zero extra gathers,
               # unlike the exact instanced path where it was ~neutral
-              results["config5_union_cached"] = dict(
-                  measure_cached(uscene, params, "config5_union_cached"),
+              results["config5_union_cached"] = entry(
+                  *measure(uscene, params.replace(shadow_mode="cached"),
+                           "config5_union_cached"),
                   n_instances=n_inst, mode="union320oct",
+                  shadow_mode="cached",
                   approx_field_err_rel=round(uerr, 4))
 
     if want("config5_4k") and ENGINE == "fused":
@@ -693,11 +702,14 @@ def main():
                                             union_error_at_resolution)
           cloud = blob(n=24)
           ids, xforms = cloud_xforms(4096, seed=11)
-          uscene = aim_cloud(cached_scene(
-              "c5union320oct-4096",
-              lambda: build_union_scene([cloud], ids, xforms,
-                                        resolution=320,
-                                        octant_boxes=True)))
+          def _build_union4k():
+              from vpt_tpu.accel.shadow import attach_shadow_cache
+              u = build_union_scene([cloud], ids, xforms, resolution=320,
+                                    octant_boxes=True)
+              return attach_shadow_cache(u, azimuth=150.0, elevation=30.0)
+
+          uscene = aim_cloud(cached_scene("c5union320octc-4096",
+                                          _build_union4k))
           uerr4 = cached_float(
               "c5union320err-4096",
               lambda: union_error_at_resolution([cloud], ids, xforms, 320,
@@ -705,16 +717,16 @@ def main():
           _log(f"# [config5_4k_union] field error vs exact: {uerr4:.4f}")
           params = RenderParams(environment_type=int(Environment.CONSTANT),
                                 **base_kw)
+          # Q=32 queues measured best on this heavy-tailed scene
+          # (3.53 -> 3.72 Mrays/s vs the auto Q=16; tools round-5 A/B)
+          p4k = params.replace(rays_per_lane=32, fused_tile=262144)
           if use_cached:
-              results["config5_4k_union"] = dict(
-                  measure_cached(uscene, params, "config5_4k_union"),
-                  n_instances=4096, mode="union320oct",
-                  approx_field_err_rel=round(uerr4, 4))
-          else:
-              results["config5_4k_union"] = entry(
-                  *measure(uscene, params, "config5_4k_union"),
-                  n_instances=4096, mode="union320oct",
-                  approx_field_err_rel=round(uerr4, 4))
+              p4k = p4k.replace(shadow_mode="cached")
+          results["config5_4k_union"] = entry(
+              *measure(uscene, p4k, "config5_4k_union"),
+              n_instances=4096, mode="union320oct",
+              shadow_mode=p4k.shadow_mode,
+              approx_field_err_rel=round(uerr4, 4))
 
     if want("bigvol_512") and ENGINE == "fused":
       with guard("bigvol_512"):
