@@ -255,13 +255,19 @@ def _on_alarm(signum, frame):  # noqa: ARG001
     os._exit(0)
 
 
-signal.signal(signal.SIGTERM, _on_term)
-signal.signal(signal.SIGINT, _on_term)
-signal.signal(signal.SIGALRM, _on_alarm)
-signal.alarm(int(HARD_DEADLINE_S))
+def _arm_signals():
+    """Called from main() ONLY: arming at import time would plant a
+    live SIGALRM/os._exit bomb in any process that merely imports
+    bench (tests/test_bench_cache.py imports it — a suite longer than
+    HARD_DEADLINE_S would silently exit 0 mid-run)."""
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(int(HARD_DEADLINE_S))
 
 
 def main():
+    _arm_signals()
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.jax_compile_cache"))
