@@ -70,8 +70,8 @@ EXTRA = os.environ.get("BENCH_EXTRA", "0") == "1"
 #     from whatever completed, and exits 0 — bounding even an
 #     in-flight compile/scene-build.  Signals demonstrably get through
 #     the tunnel stack (the r4 SIGTERM partial emit worked).
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1100))
-HARD_DEADLINE_S = float(os.environ.get("BENCH_HARD_DEADLINE_S", 1440))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1380))
+HARD_DEADLINE_S = float(os.environ.get("BENCH_HARD_DEADLINE_S", 1650))
 T0 = time.time()
 
 
@@ -183,10 +183,13 @@ STATE = {
     # every scenario the run intends to cover; emit() marks any that
     # produced no entry as explicitly skipped so the driver JSON never
     # silently omits one (VERDICT r4 next-round #2)
-    "planned": ["config1_dragon", "north_star", "config4_atmosphere",
+    # execution order: primary metric first, then bigvol (its cached
+    # 7.75 GiB scene takes ~250 s of tunnel transfer — it must not sit
+    # at the deadline tail), then the cheap blob configs, config5 last
+    "planned": ["config1_dragon", "north_star", "bigvol_512",
                 "config2_fireball", "config3_smoke_hdri",
-                "config5_cloudscape", "config5_union", "config5_4k",
-                "bigvol_512"],
+                "config4_atmosphere", "config5_cloudscape",
+                "config5_union", "config5_4k"],
 }
 
 
@@ -519,39 +522,63 @@ def main():
           STATE["north"]["shadow_mode"] = ("cached" if use_cached
                                            else "tracked")
 
-    # ---- config 4: Bruneton planetary atmosphere -----------------------
-    if want("config4_atmosphere"):
-      with guard("config4_atmosphere"):
-          from vpt_tpu.scene.scene import attach_atmosphere
-          from vpt_tpu.sky.bruneton import LutDims
-          half = LutDims(transmittance_w=128, transmittance_h=32, r=16,
-                         mu=64, mu_s=16, nu=4, irradiance_w=32,
-                         irradiance_h=8)
-          cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "out", "atmo_bench_cache.npz")
-          os.makedirs(os.path.dirname(cache), exist_ok=True)
-          # octant boxes ON for the blob scenes: the round-5 phase probe
-          # read 77% jump-merged / 37% chained empty hops on the puff
-          # (3.24 -> 2.59 iters/ray measured on TPU); auto stays off
-          # only because dragon.vdb measured break-even
-          scene = build_scene([blob()], octant_boxes=True,
+    if want("bigvol_512") and ENGINE == "fused":
+      with guard("bigvol_512"):
+          # beyond-HBM memory-model proof (VERDICT r2 #10): a
+          # production-size 512^3 procedural grid through the bf16
+          # corner table (build_scene(corner_dtype="bfloat16") —
+          # ROADMAP "production-size volumes").  f32 corners at this
+          # size are ~8 GB and do not fit v5e HBM alongside the
+          # banded/skip channels; bf16 halves them with conservative
+          # rounding of the safety channels (estimator-preserving).
+          from vpt_tpu.volume.procedural import (NOISE_FBM_PERLIN,
+                                                 create_procedural_grid)
+          n = int(os.environ.get("BENCH_BIGVOL_N", 512))
+          half = n / 2.0
+          lights = PointLights.make([[0.0, half * 2.2, half * 3.0]],
+                                    [[1.0, 1.0, 1.0]],
+                                    [float(half * half * 8.0)])
+
+          def _build_bigvol():
+              import dataclasses as _dc
+
+              import jax.numpy as _jnp
+
+              from vpt_tpu.accel.shadow import attach_shadow_cache
+              grid = create_procedural_grid(
+                  vmin=(-half,) * 3, vmax=(half,) * 3, res=1.0,
+                  noise_type=NOISE_FBM_PERLIN, scale=0.012, seed=5,
+                  chunk_z=64)
+              s = build_scene([grid], lights=lights,
                               corner_dtype="bfloat16")
-          scene = attach_atmosphere(scene, cache_path=cache, dims=half)
-          scene = aim_camera(scene, W, H, offset=(0.0, 0.5, 9.0))
-          params = RenderParams(environment_type=int(Environment.ATMOSPHERE),
-                                **base_kw)
-          results["config4_atmosphere"] = entry(
-              *measure(scene, params, "config4_atmosphere"))
-          if ENGINE == "fused":
-              # baked-sky variant: the full per-ray Bruneton terminal
-              # evaluation measured ~80% of this scenario's wall time;
-              # the equirect cache replaces it with one bilinear fetch
-              # (accuracy bounded by tests/test_bruneton.py)
-              from vpt_tpu.scene.scene import attach_sky_cache
-              bscene = attach_sky_cache(scene, azimuth=150.0, elevation=30.0)
-              results["config4_baked_sky"] = entry(
-                  *measure(bscene, params, "config4_baked_sky"),
-                  sky="baked")
+              # bake the cached sun+light taus AT BUILD TIME (needs the
+              # raw density; round-5 phase probe: SHADOW walks were 86%
+              # of all bigvol steps — the single dominant cost), then
+              # drop the raw copy the way keep_raw_density=False would
+              s = attach_shadow_cache(s, azimuth=150.0, elevation=30.0)
+              return _dc.replace(
+                  s, atlas=_dc.replace(s.atlas,
+                                       density=_jnp.zeros(1, _jnp.float32)))
+
+          scene = aim_camera(cached_scene(f"bigvolc-{n}", _build_bigvol),
+                             W, H, dist_scale=half / 3.5)
+          dc = scene.atlas.density_corners
+          corner_bytes = dc.size * dc.dtype.itemsize
+          _log(f"# [bigvol_512] {n}^3 voxels, corner table "
+               f"{corner_bytes/2**30:.2f} GiB (bfloat16, incl. cached "
+               "taus)")
+          params = RenderParams(environment_type=int(Environment.BLACK),
+                                density_mult=0.04, **base_kw)
+          results["bigvol_512"] = entry(
+              *measure(scene, params.replace(shadow_mode="cached"),
+                       "bigvol_512"),
+              grid_n=n, corner_gib=round(corner_bytes / 2**30, 2),
+              corner_dtype="bfloat16", shadow_mode="cached",
+              tau_downsample=2)
+          if EXTRA:
+              results["bigvol_512_tracked"] = entry(
+                  *measure(scene, params, "bigvol_512_tracked"),
+                  grid_n=n, corner_dtype="bfloat16")
 
     # ---- config 2: emission + blackbody LUT (fireball analog) ----------
     if want("config2_fireball"):
@@ -619,6 +646,40 @@ def main():
                           aspect=1.0)
         return dataclasses.replace(scene, camera=cam)
 
+    # ---- config 4: Bruneton planetary atmosphere -----------------------
+    if want("config4_atmosphere"):
+      with guard("config4_atmosphere"):
+          from vpt_tpu.scene.scene import attach_atmosphere
+          from vpt_tpu.sky.bruneton import LutDims
+          half = LutDims(transmittance_w=128, transmittance_h=32, r=16,
+                         mu=64, mu_s=16, nu=4, irradiance_w=32,
+                         irradiance_h=8)
+          cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "out", "atmo_bench_cache.npz")
+          os.makedirs(os.path.dirname(cache), exist_ok=True)
+          # octant boxes ON for the blob scenes: the round-5 phase probe
+          # read 77% jump-merged / 37% chained empty hops on the puff
+          # (3.24 -> 2.59 iters/ray measured on TPU); auto stays off
+          # only because dragon.vdb measured break-even
+          scene = build_scene([blob()], octant_boxes=True,
+                              corner_dtype="bfloat16")
+          scene = attach_atmosphere(scene, cache_path=cache, dims=half)
+          scene = aim_camera(scene, W, H, offset=(0.0, 0.5, 9.0))
+          params = RenderParams(environment_type=int(Environment.ATMOSPHERE),
+                                **base_kw)
+          results["config4_atmosphere"] = entry(
+              *measure(scene, params, "config4_atmosphere"))
+          if ENGINE == "fused":
+              # baked-sky variant: the full per-ray Bruneton terminal
+              # evaluation measured ~80% of this scenario's wall time;
+              # the equirect cache replaces it with one bilinear fetch
+              # (accuracy bounded by tests/test_bruneton.py)
+              from vpt_tpu.scene.scene import attach_sky_cache
+              bscene = attach_sky_cache(scene, azimuth=150.0, elevation=30.0)
+              results["config4_baked_sky"] = entry(
+                  *measure(bscene, params, "config4_baked_sky"),
+                  sky="baked")
+
     if want("config5_cloudscape"):
       with guard("config5_cloudscape"):
           n_inst = int(os.environ.get("BENCH_INSTANCES", 1024))
@@ -672,8 +733,10 @@ def main():
               f"c5union320octc-{n_inst}", _build_union))
           # measured per-run approximation error (VERDICT r4 #3): the
           # union's speed never travels without its error figure.
-          # Documented bound: <= 0.05 relative field error
-          # (docs/QUIRKS.md union entry; tests/test_union.py)
+          # POINTWISE field error (~0.35 here: the clouds carry
+          # sub-voxel detail at resolution 320); the RENDER-mean error
+          # is <= 0.10 (docs/QUIRKS.md #30; tests/test_union.py incl.
+          # the bench-like-coarseness case)
           from vpt_tpu.volume.union import union_error_at_resolution
           uerr = cached_float(
               f"c5union320err-{n_inst}",
@@ -733,64 +796,6 @@ def main():
               n_instances=4096, mode="union320oct",
               shadow_mode=p4k.shadow_mode,
               approx_field_err_rel=round(uerr4, 4))
-
-    if want("bigvol_512") and ENGINE == "fused":
-      with guard("bigvol_512"):
-          # beyond-HBM memory-model proof (VERDICT r2 #10): a
-          # production-size 512^3 procedural grid through the bf16
-          # corner table (build_scene(corner_dtype="bfloat16") —
-          # ROADMAP "production-size volumes").  f32 corners at this
-          # size are ~8 GB and do not fit v5e HBM alongside the
-          # banded/skip channels; bf16 halves them with conservative
-          # rounding of the safety channels (estimator-preserving).
-          from vpt_tpu.volume.procedural import (NOISE_FBM_PERLIN,
-                                                 create_procedural_grid)
-          n = int(os.environ.get("BENCH_BIGVOL_N", 512))
-          half = n / 2.0
-          lights = PointLights.make([[0.0, half * 2.2, half * 3.0]],
-                                    [[1.0, 1.0, 1.0]],
-                                    [float(half * half * 8.0)])
-
-          def _build_bigvol():
-              import dataclasses as _dc
-
-              import jax.numpy as _jnp
-
-              from vpt_tpu.accel.shadow import attach_shadow_cache
-              grid = create_procedural_grid(
-                  vmin=(-half,) * 3, vmax=(half,) * 3, res=1.0,
-                  noise_type=NOISE_FBM_PERLIN, scale=0.012, seed=5,
-                  chunk_z=64)
-              s = build_scene([grid], lights=lights,
-                              corner_dtype="bfloat16")
-              # bake the cached sun+light taus AT BUILD TIME (needs the
-              # raw density; round-5 phase probe: SHADOW walks were 86%
-              # of all bigvol steps — the single dominant cost), then
-              # drop the raw copy the way keep_raw_density=False would
-              s = attach_shadow_cache(s, azimuth=150.0, elevation=30.0)
-              return _dc.replace(
-                  s, atlas=_dc.replace(s.atlas,
-                                       density=_jnp.zeros(1, _jnp.float32)))
-
-          scene = aim_camera(cached_scene(f"bigvolc-{n}", _build_bigvol),
-                             W, H, dist_scale=half / 3.5)
-          dc = scene.atlas.density_corners
-          corner_bytes = dc.size * dc.dtype.itemsize
-          _log(f"# [bigvol_512] {n}^3 voxels, corner table "
-               f"{corner_bytes/2**30:.2f} GiB (bfloat16, incl. cached "
-               "taus)")
-          params = RenderParams(environment_type=int(Environment.BLACK),
-                                density_mult=0.04, **base_kw)
-          results["bigvol_512"] = entry(
-              *measure(scene, params.replace(shadow_mode="cached"),
-                       "bigvol_512"),
-              grid_n=n, corner_gib=round(corner_bytes / 2**30, 2),
-              corner_dtype="bfloat16", shadow_mode="cached",
-              tau_downsample=2)
-          if EXTRA:
-              results["bigvol_512_tracked"] = entry(
-                  *measure(scene, params, "bigvol_512_tracked"),
-                  grid_n=n, corner_dtype="bfloat16")
 
     emit()
 

@@ -105,3 +105,34 @@ def test_union_error_estimators_and_auto_resolution():
         candidates=(48, 160, 224), n=1500, seed=1)
     assert res in (48, 160)
     assert err <= max(err_est * 1.5, 1e-3)
+
+
+def test_union_render_mean_at_bench_coarseness():
+    """The bench cloudscape runs the union at cell ~4x the instance
+    voxel, where POINTWISE field error reaches ~0.35 (QUIRKS #30).
+    This pins what actually matters at that coarseness: the RENDER
+    mean (ray line integrals average the blur) stays within 10% of
+    the exact instanced path."""
+    grids, ids, xforms = _instanced()
+    kw = dict(width=32, height=32, ray_depth=4, max_track_steps=64,
+              max_fused_steps=256,
+              environment_type=int(Environment.CONSTANT))
+    scene = build_scene(grids, instance_grid_ids=ids,
+                        instance_xforms=xforms)
+    # resolution 12 over a ~9.6-unit extent = 0.8-unit cells vs the
+    # 0.2-unit instance voxels: the bench's 4x coarseness ratio
+    uscene = build_union_scene(grids, ids, xforms, resolution=12)
+    from vpt_tpu.volume.union import union_field_error, resample_union_grid
+    ferr = union_field_error(resample_union_grid(grids, ids, xforms, 12),
+                             grids, ids, xforms, n=1500, seed=2)
+    p = RenderParams(**kw)
+    f_exact = ProgressiveRenderer(scene, p).render(24)
+    f_union = ProgressiveRenderer(uscene, p).render(24)
+    a = float(np.asarray(f_union.accum).mean())
+    b = float(np.asarray(f_exact.accum).mean())
+    assert b > 0
+    rel = abs(a - b) / b
+    assert rel < 0.10, (rel, ferr)
+    # the pointwise error at this coarseness is genuinely large —
+    # the render-mean bound is the meaningful one (QUIRKS #30)
+    assert ferr > 0.1, ferr
