@@ -97,3 +97,32 @@ def test_cli_checkpoint_resume_bit_identical(tmp_path):
     a = read_exr_rgb(str(tmp_path / "ref.exr"))
     b = read_exr_rgb(str(tmp_path / "resumed.exr"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_cli_union_mode(tmp_path):
+    """`vpt render scene.ins --union RES`: the instanced scene collapses
+    onto the world union grid (volume/union.py) with the measured field
+    error logged (QUIRKS #30 promotion surface)."""
+    import numpy as np
+
+    from vpt_tpu.app.cli import main
+    from vpt_tpu.scene.ins import InsFile, InsVolumeFile, write_ins
+    rows = []
+    rng = np.random.RandomState(5)
+    for i in range(4):
+        pos = rng.uniform(-2, 2, 3)
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        rows.append([*pos, *q, rng.uniform(0.6, 1.2)])
+    ins = tmp_path / "cloud.ins"
+    write_ins(str(ins), InsFile(volumes=[InsVolumeFile(
+        vdb_file="/root/reference/assets/dragon.vdb",
+        instances=np.array(rows))]))
+    out = tmp_path / "union.png"
+    main(["render", str(ins), "-o", str(out), "--spp", "2",
+          "--width", "32", "--height", "32", "--ray-depth", "3",
+          "--env-type", "constant", "--cpu", "--union", "96"])
+    assert out.exists()
+    from PIL import Image
+    img = np.asarray(Image.open(out))
+    assert img.max() > 0

@@ -363,3 +363,24 @@ def test_tau_downsample_error():
     ta = np.exp(-a.astype(np.float64))
     tb = np.exp(-b.astype(np.float64))
     assert float(np.abs(ta - tb).mean()) < 0.03
+
+
+def test_downsampled_point_tau_render_mean(lit_scene):
+    """Point-light-only render mean with the PRODUCTION-SIZE bake path
+    (tau_downsample=2 -> big spherical-resample settings) agrees with
+    the tracked walks.  Pins the round-5 bias fix: the 120x240 angular
+    grid tangentially blurred the low-tau creases light shines
+    through, dimming point-lit radiance 18.5% at bench scale
+    (accel/shadow.py attach_shadow_cache big-path comment)."""
+    base = dict(BASE, sun_mult=0.0)  # isolate the point-light channel
+    tracked = ProgressiveRenderer(
+        lit_scene, RenderParams(engine="fused", **base)).render(24)
+    cs = attach_shadow_cache(lit_scene, azimuth=base["azimuth"],
+                             elevation=base["elevation"], tau_downsample=2)
+    cached = ProgressiveRenderer(
+        cs, RenderParams(engine="fused", shadow_mode="cached",
+                         **base)).render(24)
+    a = np.asarray(tracked.accum)
+    b = np.asarray(cached.accum)
+    assert np.isfinite(b).all() and a.mean() > 0
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.10, (a.mean(), b.mean())
